@@ -1,0 +1,211 @@
+"""Configuration for the RADNET-TPU detection pipeline.
+
+Carries every knob of the reference ``Config``
+(/root/reference/faster_rcnn/config.py:5-133) plus the TPU-specific shape /
+batching / sharding parameters the fixed-shape XLA design needs.
+
+Unlike the reference (which pickles the live class instance and trusts the
+pickle at load time, /root/reference/train.py:180-181,
+/root/reference/faster_rcnn/RADNet.py:724), the canonical persistence format
+here is JSON: ``Config.save`` / ``Config.load`` round-trip a plain dict, so
+checkpoints remain loadable across refactors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+
+@dataclasses.dataclass
+class Config:
+    # ------------------------------------------------------------------ #
+    # Model / backbone (reference config.py:12-17)
+    # ------------------------------------------------------------------ #
+    verbose: bool = True
+    network: str = "resnet50"  # 'vgg16' or 'resnet50'
+    base_net_trainable: bool = False
+    base_net_cont_trainable: bool = True
+    base_net_weights: str | None = "imagenet"  # 'imagenet' or None
+
+    # ------------------------------------------------------------------ #
+    # Augmentation switches (reference config.py:20-27)
+    # ------------------------------------------------------------------ #
+    use_horizontal_flips: bool = True
+    use_vertical_flips: bool = True
+    use_90_rotations: bool = True
+    use_rotations: bool = True
+    use_shear: bool = True
+    use_brightness: bool = True
+    use_noise: bool = True
+
+    # ------------------------------------------------------------------ #
+    # Image types (reference config.py:28-33)
+    # ------------------------------------------------------------------ #
+    use_img_type: bool = False
+    img_types: list[str] = dataclasses.field(
+        default_factory=lambda: ["enhanced_topo_grey", "topo_grey"]
+    )
+
+    # ------------------------------------------------------------------ #
+    # Tiling (reference config.py:36-41)
+    # ------------------------------------------------------------------ #
+    tile_size: int = 2000
+    tile_overlap: int = 400  # step size between tile origins
+    tile_bbox_clip_threshold: float = 0.75
+    max_n_tiles_train: int = 1
+    max_n_tiles_val: int = 1
+    include_full_img: bool = False
+
+    # ------------------------------------------------------------------ #
+    # Anchors (reference config.py:47-56)
+    # ------------------------------------------------------------------ #
+    anchor_box_scales: list[int] = dataclasses.field(
+        default_factory=lambda: [64, 128, 256, 512]
+    )
+    anchor_box_ratios: list[list[float]] = dataclasses.field(
+        default_factory=lambda: [[1.0, 1.0], [1.0, 2.0], [2.0, 1.0]]
+    )
+
+    # ------------------------------------------------------------------ #
+    # Input geometry (reference config.py:70-81)
+    # ------------------------------------------------------------------ #
+    img_size: int = 600  # target size of the longest image side (see note)
+    n_rois: int = 20  # RoIs per detector step during training
+    rpn_stride: int = 16
+
+    # ------------------------------------------------------------------ #
+    # Class balancing / regression scaling (reference config.py:84-96)
+    # ------------------------------------------------------------------ #
+    balanced_classes: bool = True
+    std_scaling: float = 4.0
+    classifier_regr_std: list[float] = dataclasses.field(
+        default_factory=lambda: [8.0, 8.0, 4.0, 4.0]
+    )
+    rpn_min_overlap: float = 0.3
+    rpn_max_overlap: float = 0.7
+    classifier_min_overlap: float = 0.1
+    classifier_max_overlap: float = 0.5
+
+    # ------------------------------------------------------------------ #
+    # Classes (reference config.py:100-108); 'bg' must map to the last id.
+    # ------------------------------------------------------------------ #
+    class_mapping: dict[str, int] = dataclasses.field(
+        default_factory=lambda: {
+            "boat": 0,
+            "human": 1,
+            "other": 2,
+            "animal": 3,
+            "circle": 4,
+            "wheel": 5,
+            "bg": 6,
+        }
+    )
+
+    # ------------------------------------------------------------------ #
+    # TPU-native additions: fixed shapes for XLA.
+    #
+    # The reference resizes the *shortest* image side to ``img_size`` and
+    # feeds variable-shaped batches of 1 (utils.py:65-75).  Variable shapes
+    # force recompilation per shape on TPU, so we instead resize the
+    # *longest* side to ``img_size`` (identical for the square tiles that
+    # dominate training/inference) and zero-pad to a fixed square canvas;
+    # every op downstream carries a validity mask for the padded region.
+    # ------------------------------------------------------------------ #
+    canvas_size: int = 608  # 608 -> 38x38 feature map for both backbones
+    batch_size: int = 8  # tiles per train step (reference: 1 image/step)
+    max_gt_boxes: int = 64  # GT boxes per tile, padded
+    rpn_max_regions: int = 256  # pos+neg anchor budget (utils.py:785)
+    pre_nms_top_n: int = 1024  # proposals entering NMS, score top-k
+    post_nms_top_n: int = 300  # proposals out of NMS (rpn.py:68 max_boxes)
+    rpn_nms_thresh: float = 0.7  # proposal NMS IoU (RADNet.py:556-561)
+    detection_nms_thresh: float = 0.2  # per-class per-tile NMS (RADNet.py:574)
+    cross_type_nms_thresh: float = 0.4  # cross-image-type merge (RADNet.py:698)
+    bbox_threshold: float = 0.7  # detector score cut (RADNet.py:36)
+    max_detections_per_tile: int = 64  # per-class post-NMS budget per tile
+    infer_tile_batch: int = 8  # tiles per compiled inference call
+    roi_chunk: int = 128  # RoIs per RoI-head chunk at inference
+    compute_dtype: str = "bfloat16"  # backbone compute dtype on TPU
+    mesh_data_axis: int = 0  # set >0 to pin data-parallel mesh size
+
+    # Output model path prefix (reference config.py:133).
+    model_path: str = ""
+    weights_path: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.model_path:
+            self.model_path = "faster_rcnn_" + self.network
+
+    # ------------------------------------------------------------------ #
+    # Derived quantities
+    # ------------------------------------------------------------------ #
+    @property
+    def n_anchors(self) -> int:
+        return len(self.anchor_box_scales) * len(self.anchor_box_ratios)
+
+    @property
+    def n_classes(self) -> int:
+        """Number of classes including background."""
+        return len(self.class_mapping)
+
+    @property
+    def bg_class_id(self) -> int:
+        return self.class_mapping["bg"]
+
+    @property
+    def inv_class_mapping(self) -> dict[int, str]:
+        return {v: k for k, v in self.class_mapping.items()}
+
+    @property
+    def feat_size(self) -> int:
+        """Feature-map side length for the fixed square canvas.
+
+        Both backbones are stride-16 at ``canvas_size=608``:
+        VGG16: 608 // 16 = 38 (vgg16.py:18-23); ResNet50's padded strided
+        stack gives the same 38 (resnet50.py:19-35).
+        """
+        return backbone_feat_size(self.network, self.canvas_size)
+
+    # ------------------------------------------------------------------ #
+    # Persistence
+    # ------------------------------------------------------------------ #
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=4)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+def vgg_feat_dim(length: int) -> int:
+    """VGG16 stride-16 output length (vgg16.py:18-23)."""
+    return length // 16
+
+def resnet_feat_dim(length: int) -> int:
+    """ResNet50 output length: zero-pad +6 then 4 strided convs
+    (resnet50.py:19-35)."""
+    length += 6
+    for filter_size in (7, 3, 1, 1):
+        length = (length - filter_size + 2) // 2
+    return length
+
+
+def backbone_feat_size(network: str, length: int) -> int:
+    if network == "vgg16":
+        return vgg_feat_dim(length)
+    if network == "resnet50":
+        return resnet_feat_dim(length)
+    raise ValueError(f"unknown network {network!r}")

@@ -1,0 +1,126 @@
+"""Annotation reading and image loading.
+
+Same data contract as the reference (/root/reference/faster_rcnn/utils.py:
+111-220): a CSV with columns ``img_path,label,xmin,ymin,xmax,ymax``; images
+are stored under per-type subdirectories injected as the second path
+segment (utils.py:124-126); loading uses ``cv2.imdecode`` over a raw byte
+read so non-ASCII paths survive (utils.py:127-130).  Images come back BGR.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import cv2
+import numpy as np
+import pandas as pd
+
+
+def get_image(
+    img_path: str,
+    types: list[str],
+    random_type: bool = False,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Load one image, injecting the image type as the 2nd path segment.
+
+    With ``random_type`` the type is drawn with the reference's weighting:
+    the first type gets probability 0.3 (0.5 when there are <= 3 types) and
+    the rest share the remainder uniformly (utils.py:115-122).
+    """
+    img_type = types[0]
+    if random_type and len(types) > 1:
+        rng = rng or np.random.default_rng()
+        first_prob = 0.5 if len(types) <= 3 else 0.3
+        rest = (1.0 - first_prob) / (len(types) - 1)
+        probs = [first_prob] + [rest] * (len(types) - 1)
+        img_type = rng.choice(types, p=probs)
+
+    parts = img_path.split("/")
+    parts.insert(1, img_type)
+    path = os.path.join(*parts)
+    img = cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(f"cannot decode image: {path}")
+    return img
+
+
+def get_data(
+    annot_path: str,
+    data_path: str,
+    img_types: list[str],
+    read_images: bool = True,
+) -> tuple[list[dict[str, Any]], dict[str, int], dict[str, int]]:
+    """Parse the annotation CSV (utils.py:134-220).
+
+    Returns:
+      data: list of per-image dicts with filepath / width / height / depth /
+        bboxes (each bbox: class, x1, y1, x2, y2 as ints).
+      class_count: class name -> box count (bg appended with 0).
+      class_mapping: class name -> index in first-seen order (bg appended).
+    """
+    t0 = time.time()
+    df = pd.read_csv(annot_path)
+
+    all_imgs: dict[str, dict[str, Any]] = {}
+    class_count: dict[str, int] = {}
+    class_mapping: dict[str, int] = {}
+
+    for row in df.itertuples(index=False):
+        img_name = getattr(row, "img_path")
+        class_name = getattr(row, "label")
+        class_count[class_name] = class_count.get(class_name, 0) + 1
+        if class_name not in class_mapping:
+            class_mapping[class_name] = len(class_mapping)
+
+        if img_name not in all_imgs:
+            filepath = data_path + "/" + img_name
+            entry: dict[str, Any] = {"filepath": filepath, "bboxes": []}
+            if read_images:
+                img = get_image(filepath, img_types, random_type=False)
+                entry["height"], entry["width"], entry["depth"] = img.shape
+            all_imgs[img_name] = entry
+
+        all_imgs[img_name]["bboxes"].append(
+            {
+                "class": class_name,
+                "x1": int(getattr(row, "xmin")),
+                "y1": int(getattr(row, "ymin")),
+                "x2": int(getattr(row, "xmax")),
+                "y2": int(getattr(row, "ymax")),
+            }
+        )
+
+    data = list(all_imgs.values())
+    if "bg" not in class_count:
+        class_count["bg"] = 0
+        class_mapping["bg"] = len(class_mapping)
+
+    print(f"Read {annot_path}: {len(data)} images in {time.time() - t0:.2f}s")
+    return data, class_count, class_mapping
+
+
+class SampleSelector:
+    """Round-robin class balancing (utils.py:19-59)."""
+
+    def __init__(self, class_count: dict[str, int]):
+        self.classes = [c for c, n in class_count.items() if n > 0]
+        self._pos = 0
+        self.curr_class = self.classes[0] if self.classes else None
+
+    def _advance(self) -> None:
+        self._pos = (self._pos + 1) % len(self.classes)
+        self.curr_class = self.classes[self._pos]
+
+    def skip_image_for_balanced_class(self, img_data: dict[str, Any]) -> bool:
+        """True if the image lacks the currently wanted class."""
+        return not any(b["class"] == self.curr_class for b in img_data["bboxes"])
+
+    def skip_tile_for_balanced_class(self, img_data: dict[str, Any]) -> bool:
+        """Like the image variant, but advances the wanted class on a hit."""
+        if any(b["class"] == self.curr_class for b in img_data["bboxes"]):
+            self._advance()
+            return False
+        return True

@@ -1,0 +1,279 @@
+"""Host data pipeline: fixed-shape sample construction, tile generators,
+batching and device prefetch.
+
+This is the TPU-native replacement of the reference's
+``get_generator`` / ``get_tile_generator`` (/root/reference/faster_rcnn/
+utils.py:222-552).  Key differences, by design:
+
+* The reference emits variable-shaped (1, H, W, 3) images; here every
+  sample is resized (longest side -> ``img_size``, aspect preserved) and
+  zero-padded onto a fixed square ``canvas_size`` canvas, with the valid
+  extent carried alongside - XLA compiles exactly one program shape.  For
+  the square tiles that dominate both training and inference this is the
+  same resize as the reference's shortest-side rule (utils.py:65-75).
+* The reference runs the anchor-target generator (``calc_region_props``)
+  on the host per sample - its hottest CPU loop.  Here the host only ships
+  the (padded) GT boxes; RPN targets are computed *on device inside the
+  fused train step* (radnet_tpu.ops.targets.rpn_targets).
+* Samples are batched (``batch_size`` tiles/step vs the reference's fixed
+  batch of 1) and prefetched to the device on a background thread.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator
+
+import cv2
+import numpy as np
+
+import jax
+
+from radnet_tpu.config import Config
+from radnet_tpu.data import augment as aug
+from radnet_tpu.data.dataset import SampleSelector, get_image
+from radnet_tpu.data.tiling import clip_boxes_to_tile, plan_tiles
+
+# Keras 'caffe'-mode preprocessing constant: the reference converts BGR->RGB
+# (utils.py:292) and then keras preprocess_input flips back to BGR and
+# subtracts the ImageNet BGR means (resnet50.py:37-39, vgg16.py:25-27).  The
+# double flip cancels; net effect is BGR minus these means.
+IMAGENET_BGR_MEAN = np.array([103.939, 116.779, 123.68], dtype=np.float32)
+
+
+def preprocess_image(img_bgr: np.ndarray) -> np.ndarray:
+    """BGR uint8 -> float32, ImageNet-mean-centered (caffe convention)."""
+    return img_bgr.astype(np.float32) - IMAGENET_BGR_MEAN
+
+
+def resize_to_canvas(
+    img: np.ndarray, img_size: int, canvas_size: int
+) -> tuple[np.ndarray, float, int, int]:
+    """Resize so the longest side equals ``img_size`` (aspect preserved),
+    then zero-pad bottom/right to ``canvas_size``.
+
+    Returns (canvas, scale, valid_w, valid_h)."""
+    h, w = img.shape[:2]
+    scale = float(img_size) / max(h, w)
+    new_w = max(1, int(round(w * scale)))
+    new_h = max(1, int(round(h * scale)))
+    resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
+    canvas = np.zeros((canvas_size, canvas_size, 3), dtype=resized.dtype)
+    canvas[:new_h, :new_w] = resized
+    return canvas, scale, new_w, new_h
+
+
+def make_sample(
+    img_bgr: np.ndarray,
+    bboxes: list[dict[str, Any]],
+    config: Config,
+    class_mapping: dict[str, int],
+) -> dict[str, np.ndarray]:
+    """One fixed-shape training/eval sample from an augmented tile."""
+    h, w = img_bgr.shape[:2]
+    canvas, scale, valid_w, valid_h = resize_to_canvas(
+        img_bgr, config.img_size, config.canvas_size
+    )
+    image = preprocess_image(canvas)
+
+    g = config.max_gt_boxes
+    gt_boxes = np.zeros((g, 4), dtype=np.float32)
+    gt_classes = np.zeros((g,), dtype=np.int32)
+    gt_mask = np.zeros((g,), dtype=bool)
+    sx = valid_w / float(w)
+    sy = valid_h / float(h)
+    for i, b in enumerate(bboxes[:g]):
+        gt_boxes[i] = (b["x1"] * sx, b["y1"] * sy, b["x2"] * sx, b["y2"] * sy)
+        gt_classes[i] = class_mapping[b["class"]]
+        gt_mask[i] = True
+
+    return {
+        "image": image,
+        "gt_boxes": gt_boxes,
+        "gt_classes": gt_classes,
+        "gt_mask": gt_mask,
+        "valid_wh": np.array([valid_w, valid_h], dtype=np.float32),
+        "sample_valid": np.asarray(True),
+    }
+
+
+def pad_sample(config: Config) -> dict[str, np.ndarray]:
+    """An all-masked sample used to fill partial validation batches."""
+    s = config.canvas_size
+    return {
+        "image": np.zeros((s, s, 3), dtype=np.float32),
+        "gt_boxes": np.zeros((config.max_gt_boxes, 4), dtype=np.float32),
+        "gt_classes": np.zeros((config.max_gt_boxes,), dtype=np.int32),
+        "gt_mask": np.zeros((config.max_gt_boxes,), dtype=bool),
+        "valid_wh": np.array([config.canvas_size, config.canvas_size], np.float32),
+        "sample_valid": np.asarray(False),
+    }
+
+
+def tile_sample_generator(
+    data: list[dict[str, Any]],
+    config: Config,
+    class_count: dict[str, int],
+    class_mapping: dict[str, int],
+    train_mode: bool = True,
+    seed: int = 0,
+    image_loader=get_image,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Yield fixed-shape samples from tiled panels.
+
+    Mirrors get_tile_generator (utils.py:310-552): class-balanced image /
+    tile skipping, random tile selection up to ``max_n_tiles_{train,val}``,
+    bbox clipping at ``tile_bbox_clip_threshold``, augmentation in train
+    mode, optional full-image sample.  Infinite in train mode; one pass in
+    eval mode (the reference signals the epoch end with StopIteration,
+    utils.py:551-552).
+    """
+    rng = np.random.default_rng(seed)
+    selector = SampleSelector(class_count)
+    data = list(data)
+
+    while True:
+        if train_mode:
+            rng.shuffle(data)
+        for img_data in data:
+            if (
+                train_mode
+                and config.balanced_classes
+                and selector.skip_image_for_balanced_class(img_data)
+            ):
+                continue
+
+            tiles = plan_tiles(
+                img_data["width"], img_data["height"], config.tile_size, config.tile_overlap
+            )
+            if len(tiles) == 0:
+                continue
+
+            img = image_loader(
+                img_data["filepath"], config.img_types, random_type=config.use_img_type
+            )
+
+            n_tiles = min(
+                len(tiles),
+                config.max_n_tiles_train if train_mode else config.max_n_tiles_val,
+            )
+            remaining = np.arange(len(tiles))
+            emitted = 0
+            while emitted < n_tiles and remaining.size > 0:
+                pick = rng.integers(0, remaining.size)
+                tile = tiles[remaining[pick]]
+                remaining = np.delete(remaining, pick)
+
+                tile_img = np.copy(img[tile[1] : tile[3], tile[0] : tile[2], :])
+                boxes_arr = np.array(
+                    [[b["x1"], b["y1"], b["x2"], b["y2"]] for b in img_data["bboxes"]]
+                )
+                clipped, keep = clip_boxes_to_tile(
+                    boxes_arr, tile, config.tile_bbox_clip_threshold
+                )
+                tile_boxes = [
+                    dict(img_data["bboxes"][i])
+                    for i in range(len(keep))
+                    if keep[i]
+                ]
+                if not tile_boxes:
+                    continue
+                for i in range(clipped.shape[0]):
+                    tile_boxes[i]["x1"] = int(clipped[i, 0] - tile[0])
+                    tile_boxes[i]["y1"] = int(clipped[i, 1] - tile[1])
+                    tile_boxes[i]["x2"] = int(np.ceil(clipped[i, 2] - tile[0]))
+                    tile_boxes[i]["y2"] = int(np.ceil(clipped[i, 3] - tile[1]))
+
+                tile_data = {
+                    "filepath": img_data["filepath"],
+                    "width": tile_img.shape[1],
+                    "height": tile_img.shape[0],
+                    "bboxes": tile_boxes,
+                }
+                if (
+                    train_mode
+                    and config.balanced_classes
+                    and selector.skip_tile_for_balanced_class(tile_data)
+                ):
+                    continue
+
+                tile_data, tile_img = aug.augment(
+                    tile_data, tile_img, config, do_augment=train_mode, rng=rng
+                )
+                if not tile_data["bboxes"]:
+                    continue
+                emitted += 1
+                yield make_sample(tile_img, tile_data["bboxes"], config, class_mapping)
+
+            if config.include_full_img and img_data["bboxes"]:
+                full_data = {
+                    "filepath": img_data["filepath"],
+                    "width": img_data["width"],
+                    "height": img_data["height"],
+                    "bboxes": [dict(b) for b in img_data["bboxes"]],
+                }
+                full_data, full_img = aug.augment(
+                    full_data, img, config, do_augment=train_mode, rng=rng
+                )
+                if full_data["bboxes"]:
+                    yield make_sample(
+                        full_img, full_data["bboxes"], config, class_mapping
+                    )
+
+        if not train_mode:
+            return
+
+
+def batch_samples(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def batched(
+    sample_iter: Iterator[dict[str, np.ndarray]],
+    batch_size: int,
+    config: Config,
+    drop_remainder: bool = False,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Group samples into fixed-size batches; partial final batches are
+    padded with masked samples (eval) unless dropped."""
+    buf: list[dict[str, np.ndarray]] = []
+    for s in sample_iter:
+        buf.append(s)
+        if len(buf) == batch_size:
+            yield batch_samples(buf)
+            buf = []
+    if buf and not drop_remainder:
+        while len(buf) < batch_size:
+            buf.append(pad_sample(config))
+        yield batch_samples(buf)
+
+
+def prefetch_to_device(
+    batch_iter: Iterator[dict[str, np.ndarray]],
+    size: int = 2,
+    sharding=None,
+) -> Iterator[Any]:
+    """Background-thread prefetch of host batches onto the device (or a
+    sharded layout when ``sharding`` is given)."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in batch_iter:
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                else:
+                    batch = jax.device_put(batch)
+                q.put(batch)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -1,0 +1,208 @@
+"""Fused jitted train / eval steps.
+
+One compiled program per optimizer step, containing everything the
+reference spreads over four host<->device round-trips and three backbone
+passes (/root/reference/train.py:288-402):
+
+  backbone forward (once) -> RPN heads -> RPN losses
+    -> proposal decode + NMS (stop-gradient)
+    -> second-stage target assignment + balanced RoI sampling
+    -> RoI pooling + detector head -> detector losses
+    -> joint gradient -> one optimizer update.
+
+Training semantics vs the reference: the reference updates the RPN first
+and computes proposals from the *just-updated* RPN (train.py:288-291), then
+updates the shared trunk a second time through the detector loss with a
+second Adam state.  The fused step is the Faster R-CNN paper's "approximate
+joint training": proposals come from the pre-update RPN (a one-step lag)
+and a single optimizer updates the shared trunk once with the summed loss.
+This is the standard formulation and is what makes single-pass fusion
+possible (see SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from radnet_tpu import losses
+from radnet_tpu.config import Config
+from radnet_tpu.engine.train_state import TrainState
+from radnet_tpu.models.detector import FasterRCNN
+from radnet_tpu.ops.proposals import batched_decode_proposals
+from radnet_tpu.ops.targets import proposal_targets, rpn_targets
+
+
+def feature_extent(length: jnp.ndarray, network: str) -> jnp.ndarray:
+    """Feature-map extent for a (dynamic) valid image extent.
+
+    Matches get_img_output_length: vgg16.py:18-23 (``//16``) and
+    resnet50.py:19-35 (zero-pad +6, four strided convs)."""
+    v = length.astype(jnp.int32)
+    if network == "vgg16":
+        return v // 16
+    v = v + 6
+    for f in (7, 3, 1, 1):
+        v = (v - f + 2) // 2
+    return v
+
+
+def compute_losses(
+    model: FasterRCNN,
+    config: Config,
+    params: Any,
+    batch_stats: Any,
+    batch: dict[str, jnp.ndarray],
+    rng: jax.Array,
+    deterministic: bool,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """Forward pass + all four losses for one batch of tiles."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    images = batch["image"]
+    b = images.shape[0]
+    num_anchors = config.n_anchors
+    scales = tuple(config.anchor_box_scales)
+    ratios = tuple(tuple(r) for r in config.anchor_box_ratios)
+    sample_valid = batch["sample_valid"].astype(jnp.float32)
+
+    rng_t, rng_p, rng_d = jax.random.split(rng, 3)
+
+    # ------------------------------------------------------------------ #
+    # RPN targets (device-side calc_region_props; no param dependency).
+    # ------------------------------------------------------------------ #
+    tgt_fn = functools.partial(
+        rpn_targets,
+        feat_h=config.feat_size,
+        feat_w=config.feat_size,
+        scales=scales,
+        ratios=ratios,
+        stride=config.rpn_stride,
+        rpn_min_overlap=config.rpn_min_overlap,
+        rpn_max_overlap=config.rpn_max_overlap,
+        max_regions=config.rpn_max_regions,
+        std_scaling=config.std_scaling,
+    )
+    tgts = jax.vmap(tgt_fn)(
+        batch["gt_boxes"],
+        batch["gt_mask"],
+        batch["valid_wh"][:, 0],
+        batch["valid_wh"][:, 1],
+        jax.random.split(rng_t, b),
+    )
+    # Padded samples in partial batches contribute nothing.
+    sv = sample_valid[:, None, None, None]
+    y_rpn_cls = tgts.y_rpn_cls * sv
+    y_rpn_regr = tgts.y_rpn_regr * sv
+
+    # ------------------------------------------------------------------ #
+    # Shared trunk once; both stages reuse ``fmap``.
+    # ------------------------------------------------------------------ #
+    fmap = model.apply(variables, images, method=FasterRCNN.features)
+    rpn_cls, rpn_regr = model.apply(variables, fmap, method=FasterRCNN.rpn)
+
+    l_rpn_cls = losses.rpn_loss_cls(y_rpn_cls, rpn_cls, num_anchors)
+    l_rpn_regr = losses.rpn_loss_regr(y_rpn_regr, rpn_regr, num_anchors)
+
+    # ------------------------------------------------------------------ #
+    # Proposals (no gradient through the decode, like the reference's
+    # predict_on_batch hop, train.py:291) and second-stage targets.
+    # ------------------------------------------------------------------ #
+    valid_fw = feature_extent(batch["valid_wh"][:, 0], config.network)
+    valid_fh = feature_extent(batch["valid_wh"][:, 1], config.network)
+    props = batched_decode_proposals(
+        jax.lax.stop_gradient(rpn_cls),
+        jax.lax.stop_gradient(rpn_regr),
+        valid_fw,
+        valid_fh,
+        scales=scales,
+        ratios=ratios,
+        stride=config.rpn_stride,
+        std_scaling=config.std_scaling,
+        pre_nms_top_n=config.pre_nms_top_n,
+        post_nms_top_n=config.post_nms_top_n,
+        nms_thresh=config.rpn_nms_thresh,
+    )
+
+    pt_fn = functools.partial(
+        proposal_targets,
+        n_classes=config.n_classes,
+        n_rois=config.n_rois,
+        stride=config.rpn_stride,
+        classifier_min_overlap=config.classifier_min_overlap,
+        classifier_max_overlap=config.classifier_max_overlap,
+        classifier_regr_std=tuple(config.classifier_regr_std),
+    )
+    pt = jax.vmap(pt_fn)(
+        props.boxes,
+        props.valid,
+        batch["gt_boxes"],
+        batch["gt_classes"],
+        batch["gt_mask"],
+        jax.random.split(rng_p, b),
+    )
+    roi_mask = pt.roi_valid.astype(jnp.float32) * sample_valid[:, None]
+
+    det_cls, det_regr = model.apply(
+        variables,
+        fmap,
+        pt.rois,
+        method=FasterRCNN.roi_heads,
+        deterministic=deterministic,
+        rngs=None if deterministic else {"dropout": rng_d},
+    )
+    l_det_cls = losses.class_loss_cls(pt.y_class, det_cls, roi_mask)
+    l_det_regr = losses.class_loss_regr(
+        pt.y_regr, det_regr, config.n_classes - 1, roi_mask
+    )
+    acc = losses.detector_accuracy(pt.y_class, det_cls, roi_mask)
+
+    total = l_rpn_cls + l_rpn_regr + l_det_cls + l_det_regr
+    n_valid = jnp.maximum(jnp.sum(sample_valid), 1.0)
+    metrics = {
+        "loss_rpn_cls": l_rpn_cls,
+        "loss_rpn_regr": l_rpn_regr,
+        "loss_detector_cls": l_det_cls,
+        "loss_detector_regr": l_det_regr,
+        "total_loss": total,
+        "detector_acc": acc,
+        # "mean number of bounding boxes from RPN overlapping GT boxes"
+        # (train.py:383-384,448): positive RoIs per image before sampling.
+        "mean_overlapping_bboxes": jnp.sum(
+            pt.n_pos.astype(jnp.float32) * sample_valid
+        )
+        / n_valid,
+    }
+    return total, metrics
+
+
+def make_train_step(model: FasterRCNN, config: Config) -> Callable:
+    """Build the jitted fused train step."""
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            return compute_losses(
+                model, config, params, state.batch_stats, batch, rng, False
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: FasterRCNN, config: Config) -> Callable:
+    """Build the jitted eval step (losses only, no dropout, no update)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch, rng):
+        _, metrics = compute_losses(
+            model, config, state.params, state.batch_stats, batch, rng, True
+        )
+        return metrics
+
+    return eval_step

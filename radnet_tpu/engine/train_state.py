@@ -1,0 +1,106 @@
+"""Train state and the trainability partition.
+
+The reference freezes layers positionally: Keras ``model.layers[:CUT]``
+with ``FINE_TUNING_CUT = 38`` for ResNet50 (conv1 + stage 2,
+/root/reference/faster_rcnn/base_models/resnet50.py:15,218-222) and
+``FINE_TUNING_CUT = 7`` for VGG16 (blocks 1-2, vgg16.py:16,55-59); layers
+above the cut train only when ``base_net_trainable`` /
+``base_net_cont_trainable`` is set (config.py:15-16).  Heads (RPN +
+detector) always train.
+
+Here the same partition is expressed structurally over the param tree and
+enforced with ``optax.multi_transform`` masks, so the optimizer itself
+never touches frozen parameters (and allocates no moments for them).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from radnet_tpu.config import Config
+from radnet_tpu.models.detector import FasterRCNN
+
+# Trunk sub-modules below the fine-tuning cut, per backbone.
+_FROZEN_PREFIXES = {
+    "resnet50": ("conv1", "bn_conv1", "s2a", "s2b", "s2c"),
+    "vgg16": ("block1_conv1", "block1_conv2", "block2_conv1", "block2_conv2"),
+}
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def trainability_labels(params: Any, network: str, base_net_trainable: bool):
+    """Label each param leaf 'train' or 'frozen'."""
+    frozen_prefixes = _FROZEN_PREFIXES[network]
+
+    def label(path: tuple, _leaf) -> str:
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if keys and keys[0] == "trunk":
+            sub = keys[1] if len(keys) > 1 else ""
+            if sub in frozen_prefixes:
+                return "frozen"
+            return "train" if base_net_trainable else "frozen"
+        return "train"  # rpn + head always train (train.py:200-206)
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(
+    params: Any, config: Config, learning_rate: float, base_net_trainable: bool
+) -> optax.GradientTransformation:
+    """Adam on trainable leaves, zero elsewhere (train.py:236-252 uses
+    Adam(5e-5); cont_train.py:170-177 Adam(2e-5))."""
+    labels = trainability_labels(params, config.network, base_net_trainable)
+    return optax.multi_transform(
+        {"train": optax.adam(learning_rate), "frozen": optax.set_to_zero()},
+        labels,
+    )
+
+
+def create_train_state(
+    model: FasterRCNN,
+    config: Config,
+    rng: jax.Array,
+    learning_rate: float = 5e-5,
+    base_net_trainable: bool | None = None,
+) -> TrainState:
+    """Initialize parameters and optimizer state."""
+    if base_net_trainable is None:
+        base_net_trainable = config.base_net_trainable
+    s = config.canvas_size
+    dummy_img = jnp.zeros((1, s, s, 3), jnp.float32)
+    dummy_rois = jnp.asarray([[[0.0, 0.0, 4.0, 4.0]]])
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        dummy_img,
+        dummy_rois,
+        deterministic=True,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(params, config, learning_rate, base_net_trainable)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )

@@ -1,0 +1,92 @@
+"""Vectorized RoI crop-and-resize pooling.
+
+Replaces the reference's ``RoiPoolingConv`` layer
+(/root/reference/faster_rcnn/RoiPoolingConv.py:48-88), which crops each RoI
+in a *python loop over rois* with dynamic shapes and resizes via
+``tf.image.resize_images``.  Here every RoI of every tile is pooled by one
+batched bilinear gather - 4 fixed-shape gathers over the flattened feature
+map - which XLA fuses and tiles cleanly; there are no dynamic shapes and no
+per-RoI dispatch.
+
+Sampling convention: half-pixel-center bilinear (the modern
+``tf.image.resize`` convention) over the integer crop ``[x, x+w) x [y, y+h)``.
+The reference used TF1's legacy ``align_corners=False`` resize; since this
+framework trains its own weights the (slightly better) half-pixel variant is
+used - behaviour is pinned by unit tests, not by bit-parity with TF1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def roi_pool(
+    fmap: jnp.ndarray,
+    rois_xywh: jnp.ndarray,
+    *,
+    pool_size: int,
+) -> jnp.ndarray:
+    """Pool RoIs from a single feature map.
+
+    Args:
+      fmap: ``(H, W, C)`` feature map.
+      rois_xywh: ``(R, 4)`` RoIs as (x, y, w, h) in feature-map units
+        (integer-valued floats, as produced by the proposal NMS).
+      pool_size: output side length (7 for VGG16 - vgg16.py:85, 14 for
+        ResNet50 - resnet50.py:249).
+
+    Returns:
+      ``(R, pool_size, pool_size, C)``.
+    """
+    h_map, w_map, _ = fmap.shape
+    rois = rois_xywh.astype(jnp.float32)
+    x, y, w, h = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
+    w = jnp.maximum(w, 1.0)
+    h = jnp.maximum(h, 1.0)
+
+    # Half-pixel sample centers inside the crop, clamped to the crop.
+    grid = (jnp.arange(pool_size, dtype=jnp.float32) + 0.5) / pool_size
+    sy = y[:, None] + jnp.clip(grid[None, :] * h[:, None] - 0.5, 0.0, None)
+    sy = jnp.minimum(sy, (y + h - 1.0)[:, None])
+    sx = x[:, None] + jnp.clip(grid[None, :] * w[:, None] - 0.5, 0.0, None)
+    sx = jnp.minimum(sx, (x + w - 1.0)[:, None])
+
+    sy = jnp.clip(sy, 0.0, h_map - 1.0)  # (R, P)
+    sx = jnp.clip(sx, 0.0, w_map - 1.0)  # (R, P)
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy1 = sy - y0  # weight of the +1 row
+    wx1 = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h_map - 1)
+    x1i = jnp.minimum(x0i + 1, w_map - 1)
+
+    flat = fmap.reshape(h_map * w_map, -1)
+
+    def gather(yi, xi):
+        # yi: (R, P) row indices, xi: (R, P) col indices -> (R, P, P, C)
+        idx = yi[:, :, None] * w_map + xi[:, None, :]
+        return jnp.take(flat, idx, axis=0)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    wy1b = wy1[:, :, None, None]
+    wx1b = wx1[:, None, :, None]
+    top = v00 * (1.0 - wx1b) + v01 * wx1b
+    bot = v10 * (1.0 - wx1b) + v11 * wx1b
+    return (top * (1.0 - wy1b) + bot * wy1b).astype(fmap.dtype)
+
+
+def batched_roi_pool(fmaps, rois_xywh, *, pool_size: int):
+    """vmap of :func:`roi_pool` over the tile batch: ``(B, H, W, C)`` +
+    ``(B, R, 4)`` -> ``(B, R, P, P, C)``."""
+    fn = functools.partial(roi_pool, pool_size=pool_size)
+    return jax.vmap(fn)(fmaps, rois_xywh)

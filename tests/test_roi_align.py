@@ -1,0 +1,50 @@
+"""RoI pooling behaviour tests (constant / linear-field invariances)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from radnet_tpu.ops.roi_align import batched_roi_pool, roi_pool
+
+
+def test_constant_map_pools_constant():
+    fmap = jnp.full((20, 20, 3), 5.0)
+    rois = jnp.array([[2.0, 3.0, 8.0, 6.0], [0.0, 0.0, 20.0, 20.0]])
+    out = roi_pool(fmap, rois, pool_size=7)
+    assert out.shape == (2, 7, 7, 3)
+    np.testing.assert_allclose(np.asarray(out), 5.0, atol=1e-6)
+
+
+def test_linear_field_is_interpolated():
+    # f(x, y) = x; pooled samples must be within the roi's x-range and
+    # monotone along the x axis.
+    h = w = 32
+    xs = np.broadcast_to(np.arange(w, dtype=np.float32), (h, w))
+    fmap = jnp.asarray(xs[..., None])
+    rois = jnp.array([[4.0, 8.0, 16.0, 12.0]])
+    out = np.asarray(roi_pool(fmap, rois, pool_size=7))[0, :, :, 0]
+    assert out.min() >= 4.0 - 1e-4
+    assert out.max() <= 19.0 + 1e-4  # x + w - 1
+    assert np.all(np.diff(out, axis=1) > 0)
+    # rows identical (no y dependence)
+    np.testing.assert_allclose(out, np.broadcast_to(out[0:1, :], out.shape), atol=1e-5)
+
+
+def test_single_cell_roi():
+    fmap = jnp.asarray(np.random.default_rng(0).normal(size=(10, 10, 4)).astype(np.float32))
+    rois = jnp.array([[3.0, 4.0, 1.0, 1.0]])
+    out = np.asarray(roi_pool(fmap, rois, pool_size=7))
+    np.testing.assert_allclose(out[0], np.broadcast_to(np.asarray(fmap)[4, 3], (7, 7, 4)), atol=1e-5)
+
+
+def test_batched_shapes():
+    fmaps = jnp.zeros((3, 16, 16, 8))
+    rois = jnp.tile(jnp.array([[1.0, 1.0, 4.0, 4.0]]), (3, 5, 1))
+    out = batched_roi_pool(fmaps, rois, pool_size=14)
+    assert out.shape == (3, 5, 14, 14, 8)
+
+
+def test_dtype_preserved():
+    fmap = jnp.zeros((8, 8, 4), jnp.bfloat16)
+    rois = jnp.array([[0.0, 0.0, 4.0, 4.0]])
+    out = roi_pool(fmap, rois, pool_size=7)
+    assert out.dtype == jnp.bfloat16
