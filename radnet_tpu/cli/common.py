@@ -1,0 +1,47 @@
+"""Shared CLI plumbing."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+# Local word pool replacing the reference's HTTP-fetched dictionary
+# (train.py:60-70 downloads a word list from svnweb.freebsd.org at train time -
+# a network failure point designed out here, per SURVEY.md §5.3).
+_NAME_WORDS = [
+    "Aurora", "Basalt", "Cairn", "Dolmen", "Ember", "Fjord", "Granite",
+    "Heather", "Inlet", "Juniper", "Kelp", "Lichen", "Menhir", "Njord",
+    "Ochre", "Petroglyph", "Quartz", "Runestone", "Skerry", "Tanum",
+    "Umber", "Vitlycke", "Wheel", "Yarrow", "Zephyr",
+]
+
+
+def silly_name_gen(rng: random.Random | None = None) -> str:
+    rng = rng or random.Random()
+    return "_".join(rng.choice(_NAME_WORDS) for _ in range(2))
+
+
+def draw_detections(img: np.ndarray, detections, color=(255, 255, 255)) -> np.ndarray:
+    """Annotate detections on an image like test.py:207-217."""
+    import cv2
+
+    for d in detections:
+        cv2.rectangle(img, (d["x1"], d["y1"]), (d["x2"], d["y2"]), color, 8)
+        label = "{}: {}".format(d["class"], int(100 * d["prob"]))
+        (tw, th), baseline = cv2.getTextSize(label, cv2.FONT_HERSHEY_COMPLEX, 1, 1)
+        org = (d["x1"], d["y1"])
+        cv2.rectangle(
+            img,
+            (org[0] - 5, org[1] + baseline - 5),
+            (org[0] + tw + 5, org[1] - th - 5),
+            (255, 255, 255),
+            -1,
+        )
+        cv2.putText(img, label, org, cv2.FONT_HERSHEY_DUPLEX, 1, (0, 0, 0), 1)
+    return img
+
+
+def model_dir(models_path: str, model_name: str) -> str:
+    return os.path.join(models_path, model_name)

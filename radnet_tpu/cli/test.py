@@ -1,0 +1,114 @@
+"""Evaluation driver - counterpart of /root/reference/test.py.
+
+Full test-set inference + VOC mAP: per-image tiled prediction with
+wall-clock timing, annotated panel PNGs under ``<model>/test/``, per-class
+AP and mAP, a precision/recall curve PNG under ``viz/``, and
+``test_accuracy.json`` (test.py:177-262).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from radnet_tpu.cli.common import draw_detections
+from radnet_tpu.data.dataset import get_data, get_image
+from radnet_tpu.evaluation import evaluate_detections
+from radnet_tpu.inference import load_radnet
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--models-path", default="models")
+    p.add_argument("--model-name", default="faster_rcnn_resnet50_raod_base")
+    p.add_argument("--test-annot", default="data/test.csv")
+    p.add_argument("--test-data", default="data/test")
+    p.add_argument("--gt-iou-threshold", type=float, default=0.5)  # test.py:42
+    p.add_argument("--viz-img-type", default=None,
+                   help="image type used for the annotated output PNGs")
+    p.add_argument("--limit", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    model_path = os.path.join(args.models_path, args.model_name)
+
+    print("\n\nMaking predictions on TEST data.")
+    radnet = load_radnet(model_path)
+    data_test, _, _ = get_data(args.test_annot, args.test_data, radnet.C.img_types)
+    if args.limit:
+        data_test = data_test[: args.limit]
+
+    all_dets: list = []
+    all_gt: list = []
+    elapsed = []
+    viz_type = args.viz_img_type or radnet.C.img_types[0]
+
+    for idx, img_meta in enumerate(data_test):
+        print(f"{img_meta['filepath']} ({idx + 1}/{len(data_test)})")
+        t0 = time.time()
+        detections = radnet.predict_from_path(img_meta["filepath"])
+        elapsed.append(time.time() - t0)
+
+        try:
+            img = get_image(img_meta["filepath"], [viz_type], random_type=False)
+            draw_detections(img, detections)
+            import cv2
+
+            out_name = img_meta["filepath"].split("/")[-1]
+            cv2.imwrite(os.path.join(model_path, "test", out_name), img)
+        except FileNotFoundError:
+            pass
+
+        all_dets.extend(detections)
+        all_gt.extend(img_meta["bboxes"])
+
+    result = evaluate_detections(all_dets, all_gt, args.gt_iou_threshold)
+
+    # PR curve (test.py:231-256).
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(12, 12))
+    for key, curve in result["curves"].items():
+        ap = result["per_class"][key]
+        (line,) = plt.plot(
+            curve["recall"], curve["precision"], linestyle="-",
+            label=f"{key}: {100 * ap:.2f} %",
+        )
+        plt.plot(
+            curve["interpolated_recall"], curve["interpolated_precision"],
+            linestyle="--", color=line.get_color(),
+        )
+        print(f"{key} AP: {ap}\n")
+
+    plt.ylabel("Precision (TP / TP + FP)")
+    plt.xlabel("Recall (TP / TP + FN)")
+    plt.ylim(0.0, 1.0)
+    plt.xlim(0.0, 1.0)
+    plt.title(f"mAP: {100 * result['mAP']:.2f} %")
+    plt.legend()
+    os.makedirs(os.path.join(model_path, "viz"), exist_ok=True)
+    plt.savefig(os.path.join(model_path, "viz", "precision_recall.png"))
+
+    accuracy = dict(result["per_class"])
+    accuracy["mAP"] = result["mAP"]
+    with open(os.path.join(model_path, "test_accuracy.json"), "w") as f:
+        json.dump(accuracy, f, indent=4)
+
+    print("mAP: " + str(result["mAP"]))
+    if elapsed:
+        print(f"Average prediction time: {np.mean(elapsed):.3f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

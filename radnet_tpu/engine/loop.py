@@ -1,0 +1,235 @@
+"""Training loop: epochs, validation, best-checkpointing, record.csv, plots.
+
+Re-creates the observable training contract of /root/reference/train.py:
+273-707 and cont_train.py on top of the fused jitted step:
+
+* ``record.csv`` with the exact column set of the reference
+  (train.py:214-233), appended once per epoch;
+* best-validation-loss checkpointing (train.py:565-599), plus a ``last``
+  checkpoint for crash recovery;
+* per-step metric logging to ``metrics.jsonl`` (the reference wrote
+  TensorBoard summaries via ``write_log``, train.py:72-79; this
+  environment has no TF, and a line-delimited JSON log is
+  machine-readable for the same dashboards);
+* post-training loss/accuracy curve PNGs under ``viz/``
+  (train.py:648-707).
+
+The model directory layout matches ``create_model_folder``
+(train.py:81-91): ``<models>/<name>/{config.json, record.csv, viz/, test/,
+ckpt_best/, ckpt_last/}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Iterator
+
+import jax
+import numpy as np
+import pandas as pd
+
+from radnet_tpu.config import Config
+from radnet_tpu.engine import checkpoint as ckpt
+from radnet_tpu.engine.train_state import TrainState
+
+RECORD_COLUMNS = [
+    "elapsed_time",
+    "mean_overlapping_bboxes",
+    "val_mean_overlapping_bboxes",
+    "loss_rpn_cls",
+    "val_loss_rpn_cls",
+    "loss_rpn_regr",
+    "val_loss_rpn_regr",
+    "loss_detector_cls",
+    "val_loss_detector_cls",
+    "loss_detector_regr",
+    "val_loss_detector_regr",
+    "total_loss",
+    "val_total_loss",
+    "detector_acc",
+    "val_detector_acc",
+    "model_improvement",
+]
+
+
+def create_model_folder(model_path: str) -> None:
+    """(train.py:81-91) - but never deletes an existing folder."""
+    os.makedirs(model_path, exist_ok=True)
+    os.makedirs(os.path.join(model_path, "viz"), exist_ok=True)
+    os.makedirs(os.path.join(model_path, "test"), exist_ok=True)
+
+
+def _mean(metrics_list: list[dict[str, Any]], key: str) -> float:
+    if not metrics_list:
+        return float("nan")
+    return float(np.mean([float(m[key]) for m in metrics_list]))
+
+
+def fit(
+    config: Config,
+    state: TrainState,
+    train_step: Callable,
+    train_batches: Iterator[Any],
+    model_path: str,
+    *,
+    epoch_length: int = 173,
+    n_epochs: int = 100,
+    eval_step: Callable | None = None,
+    val_batches_factory: Callable[[], Iterator[Any]] | None = None,
+    seed: int = 64,
+    best_total_loss: float = float("inf"),
+    record: pd.DataFrame | None = None,
+    verbose: bool = True,
+) -> tuple[TrainState, pd.DataFrame]:
+    """Run the training loop; returns the final state and the record table."""
+    create_model_folder(model_path)
+    record_path = os.path.join(model_path, "record.csv")
+    metrics_log = open(os.path.join(model_path, "metrics.jsonl"), "a")
+    if record is None:
+        record = pd.DataFrame(columns=RECORD_COLUMNS)
+
+    rng = jax.random.PRNGKey(seed)
+    start_time = time.time()
+    train_step_count = int(state.step)
+
+    for epoch in range(n_epochs):
+        if verbose:
+            print(f"Epoch {epoch + 1}/{n_epochs}")
+        epoch_metrics: list[dict[str, Any]] = []
+
+        for _ in range(epoch_length):
+            batch = next(train_batches)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(state, batch, step_rng)
+            epoch_metrics.append(metrics)
+            train_step_count += 1
+
+        # Host sync once per epoch; log per-step scalars.
+        epoch_metrics = jax.device_get(epoch_metrics)
+        for i, m in enumerate(epoch_metrics):
+            metrics_log.write(
+                json.dumps(
+                    {
+                        "step": train_step_count - epoch_length + i,
+                        **{k: float(v) for k, v in m.items()},
+                    }
+                )
+                + "\n"
+            )
+        metrics_log.flush()
+
+        row: dict[str, Any] = {
+            "elapsed_time": round((time.time() - start_time) / 60, 3),
+            "mean_overlapping_bboxes": round(_mean(epoch_metrics, "mean_overlapping_bboxes"), 3),
+            "loss_rpn_cls": round(_mean(epoch_metrics, "loss_rpn_cls"), 3),
+            "loss_rpn_regr": round(_mean(epoch_metrics, "loss_rpn_regr"), 3),
+            "loss_detector_cls": round(_mean(epoch_metrics, "loss_detector_cls"), 3),
+            "loss_detector_regr": round(_mean(epoch_metrics, "loss_detector_regr"), 3),
+            "detector_acc": round(_mean(epoch_metrics, "detector_acc"), 3),
+        }
+        curr_total_loss = (
+            row["loss_rpn_cls"]
+            + row["loss_rpn_regr"]
+            + row["loss_detector_cls"]
+            + row["loss_detector_regr"]
+        )
+        row["total_loss"] = round(curr_total_loss, 3)
+
+        if verbose:
+            print(
+                "(TRAINING) overlap={mean_overlapping_bboxes} rpn_cls={loss_rpn_cls} "
+                "rpn_regr={loss_rpn_regr} det_cls={loss_detector_cls} "
+                "det_regr={loss_detector_regr} acc={detector_acc} total={total_loss}".format(**row)
+            )
+
+        # -------------------------------------------------------------- #
+        # Validation pass (train.py:476-563)
+        # -------------------------------------------------------------- #
+        if eval_step is not None and val_batches_factory is not None:
+            val_metrics: list[dict[str, Any]] = []
+            for batch in val_batches_factory():
+                rng, step_rng = jax.random.split(rng)
+                val_metrics.append(eval_step(state, batch, step_rng))
+            val_metrics = jax.device_get(val_metrics)
+            row["val_mean_overlapping_bboxes"] = round(_mean(val_metrics, "mean_overlapping_bboxes"), 3)
+            row["val_loss_rpn_cls"] = round(_mean(val_metrics, "loss_rpn_cls"), 3)
+            row["val_loss_rpn_regr"] = round(_mean(val_metrics, "loss_rpn_regr"), 3)
+            row["val_loss_detector_cls"] = round(_mean(val_metrics, "loss_detector_cls"), 3)
+            row["val_loss_detector_regr"] = round(_mean(val_metrics, "loss_detector_regr"), 3)
+            row["val_detector_acc"] = round(_mean(val_metrics, "detector_acc"), 3)
+            val_total = (
+                row["val_loss_rpn_cls"]
+                + row["val_loss_rpn_regr"]
+                + row["val_loss_detector_cls"]
+                + row["val_loss_detector_regr"]
+            )
+            row["val_total_loss"] = round(val_total, 3)
+            watch = val_total
+            if verbose:
+                print(f"(VALIDATION) total={val_total:.3f} best={best_total_loss:.3f}")
+        else:
+            for c in RECORD_COLUMNS:
+                if c.startswith("val_"):
+                    row[c] = None
+            watch = curr_total_loss
+
+        # -------------------------------------------------------------- #
+        # Best checkpoint on watched loss (train.py:565-599).
+        # -------------------------------------------------------------- #
+        if watch < best_total_loss:
+            row["model_improvement"] = watch - best_total_loss
+            if verbose:
+                print(f"Total loss decreased from {best_total_loss} to {watch}, saving weights")
+            best_total_loss = watch
+            ckpt.save_checkpoint(os.path.join(model_path, "ckpt_best"), state, best_total_loss)
+        else:
+            row["model_improvement"] = None
+        ckpt.save_checkpoint(os.path.join(model_path, "ckpt_last"), state, best_total_loss)
+
+        record = pd.concat([record, pd.DataFrame([row])], ignore_index=True)
+        record.to_csv(record_path, index=False)
+
+    metrics_log.close()
+    save_training_plots(record, os.path.join(model_path, "viz"))
+    return state, record
+
+
+def save_training_plots(record: pd.DataFrame, viz_dir: str) -> None:
+    """Loss/accuracy curves (train.py:648-707): accuracy.png, rpn_loss.png,
+    detector_loss.png, total_loss.png."""
+    os.makedirs(viz_dir, exist_ok=True)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    def _curve(ax, col):
+        n = record.shape[0]
+        x = np.arange(n)
+        for series, color in ((col, "r"), (f"val_{col}", "b")):
+            if series in record:
+                y = pd.to_numeric(record[series], errors="coerce")
+                ax.plot(x, y, color, alpha=0.3)
+                ax.plot(x, y.rolling(window=min(20, max(n, 1))).mean(), color,
+                        label="Train" if color == "r" else "Val")
+        ax.set_title(col)
+        ax.legend()
+
+    pairs = [
+        ("accuracy.png", ["mean_overlapping_bboxes", "detector_acc"]),
+        ("rpn_loss.png", ["loss_rpn_cls", "loss_rpn_regr"]),
+        ("detector_loss.png", ["loss_detector_cls", "loss_detector_regr"]),
+    ]
+    for fname, cols in pairs:
+        fig, axes = plt.subplots(1, 2, figsize=(15, 5))
+        for ax, col in zip(axes, cols):
+            _curve(ax, col)
+        fig.savefig(os.path.join(viz_dir, fname))
+        plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(16, 8))
+    _curve(ax, "total_loss")
+    fig.savefig(os.path.join(viz_dir, "total_loss.png"))
+    plt.close(fig)

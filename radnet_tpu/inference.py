@@ -1,0 +1,330 @@
+"""Inference engine: tiled panel prediction with an on-device cascade.
+
+The serving counterpart of the reference's ``RADNet`` class
+(/root/reference/faster_rcnn/RADNet.py:25-718), re-architected for TPU:
+
+Reference flow (per tile, host-driven): format -> ``model_rpn.predict`` ->
+numpy ``rpn_to_roi`` -> ~15x ``model_detector.predict`` chunks of 20 RoIs
+-> numpy per-class NMS -> python coordinate lift (RADNet.py:543-604).  That
+is ~16 host<->device round-trips per tile and thousands per panel.
+
+Here: all tiles of a panel are resized onto the fixed canvas on the host,
+then processed in fixed-size *batches* by ONE jitted program
+(:meth:`RADNet._predict_tiles`): backbone + RPN + proposal decode/NMS +
+RoI heads over all 300 proposals at once + per-class detection NMS, all on
+device.  Only the final tiny per-panel merge (cluster-average NMS across
+tiles, RADNet.py:156-240, and the cross-image-type merge, :698-702) runs
+on host, on at most a few hundred boxes.
+
+Output contract matches the reference ``predict``: a list of
+``{'class', 'prob', 'x1', 'y1', 'x2', 'y2'}`` dicts in panel coordinates
+(RADNet.py:705-718).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radnet_tpu.config import Config
+from radnet_tpu.data.dataset import get_image
+from radnet_tpu.data.pipeline import preprocess_image, resize_to_canvas
+from radnet_tpu.data.tiling import plan_tiles
+from radnet_tpu.engine.steps import feature_extent
+from radnet_tpu.geometry import decode_boxes
+from radnet_tpu.models.detector import FasterRCNN, build_model
+from radnet_tpu.ops.nms import final_nms_cluster, nms_fixed, nms_numpy
+from radnet_tpu.ops.proposals import batched_decode_proposals
+
+
+class RADNet:
+    """Rock-art detector: tiled panels -> merged detections."""
+
+    def __init__(
+        self,
+        config: Config,
+        model: FasterRCNN,
+        params: Any,
+        batch_stats: Any,
+    ):
+        self.C = config
+        self.model = model
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self.class_mapping = config.inv_class_mapping
+        self.bbox_threshold = config.bbox_threshold  # RADNet.py:36
+        self._predict_tiles = jax.jit(self._predict_tiles_impl)
+
+    # ------------------------------------------------------------------ #
+    # Device-side cascade for one batch of tiles.
+    # ------------------------------------------------------------------ #
+    def _predict_tiles_impl(self, images: jnp.ndarray, valid_wh: jnp.ndarray):
+        """(T, S, S, 3) preprocessed tiles -> per-class detections.
+
+        Returns (boxes (T, K, D, 4) in resized-image px, scores (T, K, D),
+        valid (T, K, D)) with K = n_classes - 1 foreground classes and
+        D = ``max_detections_per_tile``.
+        """
+        cfg = self.C
+        scales = tuple(cfg.anchor_box_scales)
+        ratios = tuple(tuple(r) for r in cfg.anchor_box_ratios)
+
+        fmap = self.model.apply(self.variables, images, method=FasterRCNN.features)
+        rpn_cls, rpn_regr = self.model.apply(self.variables, fmap, method=FasterRCNN.rpn)
+
+        valid_fw = feature_extent(valid_wh[:, 0], cfg.network)
+        valid_fh = feature_extent(valid_wh[:, 1], cfg.network)
+        props = batched_decode_proposals(
+            rpn_cls,
+            rpn_regr,
+            valid_fw,
+            valid_fh,
+            scales=scales,
+            ratios=ratios,
+            stride=cfg.rpn_stride,
+            std_scaling=cfg.std_scaling,
+            pre_nms_top_n=cfg.pre_nms_top_n,
+            post_nms_top_n=cfg.post_nms_top_n,
+            nms_thresh=cfg.rpn_nms_thresh,  # RADNet.py:556-561
+        )
+
+        # xyxy -> xywh (RADNet.py:564-565); all proposals through the RoI
+        # head at once (the reference chunks into groups of 20, :109-124).
+        x1, y1, x2, y2 = (props.boxes[..., i] for i in range(4))
+        rois = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
+        det_cls, det_regr = self.model.apply(
+            self.variables, fmap, rois, method=FasterRCNN.roi_heads, deterministic=True
+        )
+
+        # Per-RoI selection (RADNet.py:127-152): confidence cut, drop bg.
+        n_fg = cfg.n_classes - 1
+        best_prob = jnp.max(det_cls, axis=-1)  # (T, R)
+        best_cls = jnp.argmax(det_cls, axis=-1)  # (T, R)
+        keep = props.valid & (best_prob >= self.bbox_threshold) & (best_cls != cfg.bg_class_id)
+
+        # Class-specific regression decode, std un-scaled (RADNet.py:140-147).
+        t, r = det_regr.shape[:2]
+        deltas_by_class = det_regr.reshape(t, r, n_fg, 4)
+        cls_idx = jnp.minimum(best_cls, n_fg - 1)
+        deltas = jnp.take_along_axis(
+            deltas_by_class, cls_idx[..., None, None], axis=2
+        )[:, :, 0, :]
+        std = jnp.asarray(cfg.classifier_regr_std, jnp.float32)
+        decoded = decode_boxes(rois, deltas / std, round_outputs=True)
+        dx, dy, dw, dh = (decoded[..., i] for i in range(4))
+        boxes = cfg.rpn_stride * jnp.stack([dx, dy, dx + dw, dy + dh], axis=-1)
+
+        # Per-tile per-class NMS @0.2 on device (RADNet.py:570-574).
+        def one_tile(tile_boxes, tile_probs, tile_cls, tile_keep):
+            def one_class(c):
+                v = tile_keep & (tile_cls == c)
+                return nms_fixed(
+                    tile_boxes,
+                    tile_probs,
+                    v,
+                    cfg.detection_nms_thresh,
+                    max_out=cfg.max_detections_per_tile,
+                )
+
+            return jax.vmap(one_class)(jnp.arange(n_fg))
+
+        out_boxes, out_scores, out_valid = jax.vmap(one_tile)(
+            boxes, best_prob, best_cls, keep
+        )
+        return out_boxes, out_scores, out_valid
+
+    # ------------------------------------------------------------------ #
+    # Host-side panel orchestration.
+    # ------------------------------------------------------------------ #
+    def _tile_batches(self, img: np.ndarray, tiles: np.ndarray):
+        """Yield (images, valid_wh, scales, tile_origins) fixed-size batches."""
+        cfg = self.C
+        bs = cfg.infer_tile_batch
+        for start in range(0, len(tiles), bs):
+            chunk = tiles[start : start + bs]
+            imgs = np.zeros((bs, cfg.canvas_size, cfg.canvas_size, 3), np.float32)
+            wh = np.full((bs, 2), float(cfg.canvas_size), np.float32)
+            scales = np.ones((bs,), np.float64)
+            n = len(chunk)
+            for i, tile in enumerate(chunk):
+                tile_img = img[tile[1] : tile[3], tile[0] : tile[2], :]
+                canvas, scale, vw, vh = resize_to_canvas(
+                    tile_img, cfg.img_size, cfg.canvas_size
+                )
+                imgs[i] = preprocess_image(canvas)
+                wh[i] = (vw, vh)
+                scales[i] = scale
+            yield imgs, wh, scales, chunk, n
+
+    def predict(self, images: Sequence[np.ndarray]) -> list[dict[str, Any]]:
+        """Full multi-tile, multi-image-type prediction (RADNet.py:502-718)."""
+        cfg = self.C
+        all_bbox: dict[str, list] = {}
+        all_probs: dict[str, list] = {}
+
+        for img in images:
+            bbox_total: dict[str, list] = {}
+            probs_total: dict[str, list] = {}
+
+            if cfg.max_n_tiles_train > 0:
+                tiles = plan_tiles(
+                    img.shape[1], img.shape[0], cfg.tile_size, cfg.tile_overlap
+                )
+                self._accumulate_tiles(img, tiles, bbox_total, probs_total)
+
+            if cfg.include_full_img:
+                full_tile = np.array(
+                    [[0, 0, img.shape[1], img.shape[0]]], dtype=np.int64
+                )
+                self._accumulate_tiles(img, full_tile, bbox_total, probs_total)
+
+            # Cross-tile cluster-average NMS per class (RADNet.py:670-678).
+            for key in bbox_total:
+                nb, np_ = final_nms_cluster(
+                    np.array(bbox_total[key]),
+                    np.array(probs_total[key]),
+                    obj_avg_threshold=0.2,
+                    obj_confidence_threshold=0.8,
+                    n_obj_avg=5,
+                )
+                for j in range(len(nb)):
+                    all_bbox.setdefault(key, []).append(nb[j].tolist())
+                    all_probs.setdefault(key, []).append(float(np_[j]))
+
+        # Cross-image-type merge at IoU 0.4 (RADNet.py:695-702).
+        detections: list[dict[str, Any]] = []
+        for key in all_bbox:
+            nb, np_ = nms_numpy(
+                np.array(all_bbox[key]),
+                np.array(all_probs[key]),
+                overlap_thresh=cfg.cross_type_nms_thresh,
+            )
+            for j in range(nb.shape[0]):
+                x1, y1, x2, y2 = nb[j]
+                detections.append(
+                    {
+                        "class": key,
+                        "prob": float(np_[j]),
+                        "x1": int(x1),
+                        "y1": int(y1),
+                        "x2": int(x2),
+                        "y2": int(y2),
+                    }
+                )
+        return detections
+
+    def _accumulate_tiles(self, img, tiles, bbox_total, probs_total) -> None:
+        cfg = self.C
+        n_fg = cfg.n_classes - 1
+        for imgs, wh, scales, chunk, n in self._tile_batches(img, tiles):
+            boxes, scores, valid = jax.device_get(
+                self._predict_tiles(jnp.asarray(imgs), jnp.asarray(wh))
+            )
+            for i in range(n):
+                tile = chunk[i]
+                ratio = scales[i]
+                for c in range(n_fg):
+                    v = valid[i, c]
+                    if not v.any():
+                        continue
+                    cls_name = self.class_mapping[c]
+                    for b, p in zip(boxes[i, c][v], scores[i, c][v]):
+                        # get_real_coordinates (RADNet.py:44-51): floor
+                        # division by the resize ratio.
+                        rx1, ry1, rx2, ry2 = (int(v0 // ratio) for v0 in b)
+                        if rx2 <= rx1 or ry2 <= ry1:
+                            continue
+                        bbox_total.setdefault(cls_name, []).append(
+                            [tile[0] + rx1, tile[1] + ry1, tile[0] + rx2, tile[1] + ry2]
+                        )
+                        probs_total.setdefault(cls_name, []).append(float(p))
+
+    def predict_from_path(self, img_path: str) -> list[dict[str, Any]]:
+        """Load one image per configured type and predict (RADNet.py:482-500)."""
+        images = []
+        if self.C.use_img_type:
+            for img_type in self.C.img_types:
+                images.append(get_image(img_path, [img_type], random_type=False))
+        else:
+            images.append(get_image(img_path, self.C.img_types, random_type=False))
+        return self.predict(images)
+
+    # ------------------------------------------------------------------ #
+    # RPN-only debug path (RADNet.py:310-480, minus the matplotlib debug
+    # blocks in the hot loop and the undefined-get_map crash - see
+    # SURVEY.md §7 "known bugs to NOT replicate").
+    # ------------------------------------------------------------------ #
+    def predict_region_proposals(self, img: np.ndarray) -> list[dict[str, Any]]:
+        cfg = self.C
+        out: list[dict[str, Any]] = []
+        tiles = plan_tiles(img.shape[1], img.shape[0], cfg.tile_size, cfg.tile_overlap)
+        for imgs, wh, scales, chunk, n in self._tile_batches(img, tiles):
+            props = jax.device_get(
+                self._proposals_only(jnp.asarray(imgs), jnp.asarray(wh))
+            )
+            for i in range(n):
+                tile = chunk[i]
+                ratio = scales[i]
+                boxes = props[0][i][props[2][i]] * cfg.rpn_stride  # fm -> px (RADNet.py:381)
+                for b in boxes:
+                    rx1, ry1, rx2, ry2 = (int(v // ratio) for v in b)
+                    out.append(
+                        {
+                            "class": "object",
+                            "prob": 1.0,
+                            "x1": tile[0] + rx1,
+                            "y1": tile[1] + ry1,
+                            "x2": tile[0] + rx2,
+                            "y2": tile[1] + ry2,
+                        }
+                    )
+        return out
+
+    @functools.cached_property
+    def _proposals_only(self):
+        cfg = self.C
+
+        @jax.jit
+        def fn(images, valid_wh):
+            fmap = self.model.apply(self.variables, images, method=FasterRCNN.features)
+            rpn_cls, rpn_regr = self.model.apply(
+                self.variables, fmap, method=FasterRCNN.rpn
+            )
+            return batched_decode_proposals(
+                rpn_cls,
+                rpn_regr,
+                feature_extent(valid_wh[:, 0], cfg.network),
+                feature_extent(valid_wh[:, 1], cfg.network),
+                scales=tuple(cfg.anchor_box_scales),
+                ratios=tuple(tuple(r) for r in cfg.anchor_box_ratios),
+                stride=cfg.rpn_stride,
+                std_scaling=cfg.std_scaling,
+                pre_nms_top_n=cfg.pre_nms_top_n,
+                post_nms_top_n=cfg.post_nms_top_n,
+                nms_thresh=cfg.rpn_nms_thresh,
+            )
+
+        return fn
+
+
+def load_radnet(model_dir: str) -> RADNet:
+    """Build a RADNet from a trained model directory (config.json +
+    ckpt_best/ checkpoint) - the ``load_radnet`` factory (RADNet.py:721-775),
+    minus the pickle trust."""
+    import jax.random as jrandom
+
+    from radnet_tpu.engine.checkpoint import restore_checkpoint
+    from radnet_tpu.engine.train_state import create_train_state
+
+    config = Config.load(os.path.join(model_dir, "config.json"))
+    model = build_model(config)
+    template = create_train_state(model, config, jrandom.PRNGKey(0))
+    ckpt_path = os.path.join(model_dir, "ckpt_best")
+    if not os.path.isdir(ckpt_path):
+        ckpt_path = os.path.join(model_dir, "ckpt_last")
+    state, _ = restore_checkpoint(ckpt_path, template)
+    return RADNet(config, model, state.params, state.batch_stats)

@@ -1,0 +1,103 @@
+"""Mesh construction and sharding rules.
+
+The reference is strictly single-process / single-device / batch-1 (see
+SURVEY.md §2.12: no distribution backend of any kind exists there).  The
+TPU-native scaling story is SPMD over a ``jax.sharding.Mesh``:
+
+* ``data`` axis - data parallelism over the **tile batch**.  Tiling
+  giga-pixel panels (utils.py:352-368) is the reference's long-input
+  mechanism; tiles are independent, so the tile axis shards across chips
+  with gradients reduced by XLA-inserted ``psum`` over ICI.
+* ``model`` axis - tensor parallelism for the parameter-heavy detector
+  head (the VGG16 head's fc1 is a 25088x4096 GEMM holding ~80% of the
+  model's parameters, vgg16.py:96-100): fc1 is column-sharded and fc2
+  row-sharded, giving one all-reduce per head application, the classic
+  Megatron split expressed purely through shardings - XLA inserts the
+  collectives.
+
+Everything else (trunk convs, RPN, stats) is replicated: conv backbones
+at these sizes are compute-, not memory-bound, so DP is the scaling axis
+that matters and TP exists for the head where it genuinely pays.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from radnet_tpu.engine.train_state import TrainState
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
+    """A (data x model) mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.array(devices[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batches shard their leading (tile) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Param-path suffixes -> PartitionSpec for the tensor-parallel head.
+_TP_RULES: list[tuple[tuple[str, ...], P]] = [
+    (("head", "fc1", "kernel"), P(None, MODEL_AXIS)),  # column parallel
+    (("head", "fc1", "bias"), P(MODEL_AXIS)),
+    (("head", "fc2", "kernel"), P(MODEL_AXIS, None)),  # row parallel
+]
+
+
+def make_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree: TP rules for the head, replication elsewhere."""
+
+    def spec_for(path: tuple, leaf) -> NamedSharding:
+        keys = tuple(p.key for p in path if hasattr(p, "key"))
+        for rule_path, spec in _TP_RULES:
+            if keys == rule_path:
+                # Only shard if divisible; tiny test models fall back to
+                # replication rather than failing.
+                axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+                dims_ok = all(
+                    s is None or leaf.shape[i] % axis_sizes[s] == 0
+                    for i, s in enumerate(spec)
+                )
+                if dims_ok:
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a host train state onto the mesh.
+
+    Params follow the TP rules; batch stats and optimizer state are
+    replicated (the masked-Adam moments for the sharded head follow the
+    params automatically inside jit via GSPMD propagation).
+    """
+    param_sh = make_param_shardings(state.params, mesh)
+    rep = replicated(mesh)
+    return state.replace(
+        step=jax.device_put(state.step, rep),
+        params=jax.device_put(state.params, param_sh),
+        batch_stats=jax.device_put(
+            state.batch_stats, jax.tree_util.tree_map(lambda _: rep, state.batch_stats)
+        ),
+        opt_state=jax.device_put(
+            state.opt_state, jax.tree_util.tree_map(lambda _: rep, state.opt_state)
+        ),
+    )

@@ -1,0 +1,99 @@
+"""Fused train step: losses finite, params update, frozen layers stay put."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radnet_tpu.engine.steps import make_eval_step, make_train_step
+from radnet_tpu.engine.train_state import create_train_state, trainability_labels
+from radnet_tpu.models.detector import build_model
+from tests.util import synthetic_batch, tiny_config
+
+
+@pytest.mark.parametrize("network", ["vgg16"])
+def test_train_step_updates_and_metrics(network):
+    cfg = tiny_config(network)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()}
+
+    state1, metrics = step(state, batch, jax.random.PRNGKey(1))
+    metrics = jax.device_get(metrics)
+    for k in (
+        "loss_rpn_cls",
+        "loss_rpn_regr",
+        "loss_detector_cls",
+        "loss_detector_regr",
+        "total_loss",
+        "detector_acc",
+        "mean_overlapping_bboxes",
+    ):
+        assert np.isfinite(metrics[k]), k
+
+    assert int(state1.step) == 1
+
+    # RPN params must move; frozen trunk blocks must not.
+    before = state.params["rpn"]["rpn_conv1"]["kernel"]
+    after = state1.params["rpn"]["rpn_conv1"]["kernel"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    frozen_b = state.params["trunk"]["block1_conv1"]["kernel"]
+    frozen_a = state1.params["trunk"]["block1_conv1"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(frozen_b), np.asarray(frozen_a))
+
+    # base_net_trainable=False: block5 also frozen at initial training
+    b5b = state.params["trunk"]["block5_conv3"]["kernel"]
+    b5a = state1.params["trunk"]["block5_conv3"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(b5b), np.asarray(b5a))
+
+
+def test_trainability_labels_cont_mode():
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    labels = trainability_labels(state.params, "vgg16", base_net_trainable=True)
+    assert labels["trunk"]["block1_conv1"]["kernel"] == "frozen"
+    assert labels["trunk"]["block3_conv1"]["kernel"] == "train"
+    assert labels["rpn"]["rpn_conv1"]["kernel"] == "train"
+    assert labels["head"]["fc1"]["kernel"] == "train"
+
+
+def test_eval_step_runs_and_masks_padding():
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    estep = make_eval_step(model, cfg)
+
+    batch = synthetic_batch(cfg)
+    batch["sample_valid"] = np.array([True, False])  # second sample padded
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    metrics = jax.device_get(estep(state, batch, jax.random.PRNGKey(2)))
+    assert np.isfinite(metrics["total_loss"])
+
+    # all-padded batch -> losses must be exactly zero-contribution (finite)
+    batch_pad = synthetic_batch(cfg)
+    batch_pad["sample_valid"] = np.array([False, False])
+    batch_pad = {k: jnp.asarray(v) for k, v in batch_pad.items()}
+    metrics_pad = jax.device_get(estep(state, batch_pad, jax.random.PRNGKey(2)))
+    assert np.isfinite(metrics_pad["total_loss"])
+    assert metrics_pad["mean_overlapping_bboxes"] == 0.0
+
+
+def test_loss_decreases_over_steps():
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), learning_rate=1e-3)
+    step = make_train_step(model, cfg)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()}
+
+    first = None
+    last = None
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100))  # same rng: fixed targets
+        total = float(metrics["loss_rpn_cls"])
+        if first is None:
+            first = total
+        last = total
+    assert last < first  # rpn objectness must be learnable on a fixed batch
