@@ -61,7 +61,20 @@ def time_tile_batches(radnet, config, device, n_batches: int, batch_np, wh_np):
     return dt / (n_batches * images.shape[0])
 
 
+def _enable_compile_cache():
+    """Persist compiled executables across runs (the axon tunnel makes
+    first compiles expensive; the cache amortizes them)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main() -> int:
+    _enable_compile_cache()
     import jax
 
     default_dev = jax.devices()[0]

@@ -43,6 +43,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--network", default=None, help="vgg16 | resnet50")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=5e-5)  # Adam(1e-5*5), train.py:237
+    p.add_argument(
+        "--config-json",
+        default=None,
+        help="path to a Config JSON overriding the defaults entirely",
+    )
     return p
 
 
@@ -52,7 +57,7 @@ def main(argv=None) -> int:
     np.random.seed(args.seed)
     rng = jax.random.PRNGKey(args.seed)
 
-    config = Config()
+    config = Config.load(args.config_json) if args.config_json else Config()
     if args.network:
         config.network = args.network
         config.model_path = "faster_rcnn_" + config.network

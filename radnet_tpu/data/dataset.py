@@ -38,9 +38,13 @@ def get_image(
         probs = [first_prob] + [rest] * (len(types) - 1)
         img_type = rng.choice(types, p=probs)
 
+    # Layout contract (utils.py:124-126): the image-type directory is the
+    # *second* path segment, i.e. ``<data_root>/<img_type>/<...>/<file>``.
     parts = img_path.split("/")
     parts.insert(1, img_type)
     path = os.path.join(*parts)
+    if img_path.startswith("/"):  # preserve absolute roots
+        path = "/" + path.lstrip("/")
     img = cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(f"cannot decode image: {path}")

@@ -68,9 +68,10 @@ def feature_anchors_xywh(
     """Decode-path anchors ``(H, W, A, 4)`` in (x1, y1, w, h) feature units."""
     key_scales = tuple(float(s) for s in scales)
     key_ratios = tuple((float(r[0]), float(r[1])) for r in ratios)
-    return jnp.asarray(
-        _feature_anchors_np(feat_h, feat_w, key_scales, key_ratios, stride)
-    )
+    # numpy on purpose: traced as a host constant, never committed to a
+    # device (committing it would force cross-device fetches at lowering
+    # time when the same grid is reused under a different mesh/platform).
+    return _feature_anchors_np(feat_h, feat_w, key_scales, key_ratios, stride)
 
 
 @functools.lru_cache(maxsize=16)
@@ -103,9 +104,7 @@ def image_anchors_xyxy(
     """Target-assignment anchors ``(H, W, A, 4)`` xyxy in resized-image px."""
     key_scales = tuple(float(s) for s in scales)
     key_ratios = tuple((float(r[0]), float(r[1])) for r in ratios)
-    return jnp.asarray(
-        _image_anchors_np(feat_h, feat_w, key_scales, key_ratios, stride)
-    )
+    return _image_anchors_np(feat_h, feat_w, key_scales, key_ratios, stride)
 
 
 def anchor_validity_mask(

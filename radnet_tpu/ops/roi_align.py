@@ -85,8 +85,68 @@ def roi_pool(
     return (top * (1.0 - wy1b) + bot * wy1b).astype(fmap.dtype)
 
 
-def batched_roi_pool(fmaps, rois_xywh, *, pool_size: int):
-    """vmap of :func:`roi_pool` over the tile batch: ``(B, H, W, C)`` +
-    ``(B, R, 4)`` -> ``(B, R, P, P, C)``."""
-    fn = functools.partial(roi_pool, pool_size=pool_size)
+def _sample_centers(rois: jnp.ndarray, pool_size: int, extent: int):
+    """Clamped half-pixel sample centers along one axis: ``(R, P)``.
+
+    ``rois`` here is ``(R, 2)`` = (origin, size) for the axis.
+    """
+    o, s = rois[:, 0], jnp.maximum(rois[:, 1], 1.0)
+    grid = (jnp.arange(pool_size, dtype=jnp.float32) + 0.5) / pool_size
+    c = o[:, None] + jnp.clip(grid[None, :] * s[:, None] - 0.5, 0.0, None)
+    c = jnp.minimum(c, (o + s - 1.0)[:, None])
+    return jnp.clip(c, 0.0, extent - 1.0)
+
+
+def _interp_matrix(centers: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Bilinear interpolation weights as a dense matrix ``(R, P, extent)``.
+
+    ``relu(1 - |center - h|)`` is exactly the 2-point bilinear weight
+    profile (1 at the integer itself), so sampling becomes a matmul - the
+    MXU-native formulation of a gather.
+    """
+    h = jnp.arange(extent, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(centers[..., None] - h[None, None, :]))
+
+
+def roi_pool_matmul(
+    fmap: jnp.ndarray,
+    rois_xywh: jnp.ndarray,
+    *,
+    pool_size: int,
+) -> jnp.ndarray:
+    """RoI pooling as two dense contractions instead of gathers.
+
+    Numerically identical to :func:`roi_pool` (same clamped half-pixel
+    centers), but expressed as ``out = Ry @ F @ Rx^T`` with per-RoI
+    interpolation matrices, so the whole pooling stage runs on the MXU.
+    On TPU, gathers of (R, P, P, C) from a feature map serialize through
+    the scatter/gather unit; these two einsums are a few ms of dense
+    matmul time instead.
+    """
+    h_map, w_map, _ = fmap.shape
+    rois = rois_xywh.astype(jnp.float32)
+    sy = _sample_centers(rois[:, 1::2], pool_size, h_map)  # (R, P) rows
+    sx = _sample_centers(rois[:, 0::2], pool_size, w_map)  # (R, P) cols
+    ry = _interp_matrix(sy, h_map)  # (R, P, H)
+    rx = _interp_matrix(sx, w_map)  # (R, P, W)
+
+    # Contract in the feature dtype (bf16 on TPU) with fp32 accumulation.
+    ry = ry.astype(fmap.dtype)
+    rx = rx.astype(fmap.dtype)
+    rows = jnp.einsum(
+        "rph,hwc->rpwc", ry, fmap, preferred_element_type=jnp.float32
+    ).astype(fmap.dtype)
+    out = jnp.einsum(
+        "rqw,rpwc->rpqc", rx, rows, preferred_element_type=jnp.float32
+    )
+    return out.astype(fmap.dtype)
+
+
+def batched_roi_pool(fmaps, rois_xywh, *, pool_size: int, method: str = "matmul"):
+    """vmap over the tile batch: ``(B, H, W, C)`` + ``(B, R, 4)`` ->
+    ``(B, R, P, P, C)``.  ``method``: 'matmul' (MXU path, default) or
+    'gather' (4-point bilinear gathers)."""
+    fn = functools.partial(
+        roi_pool_matmul if method == "matmul" else roi_pool, pool_size=pool_size
+    )
     return jax.vmap(fn)(fmaps, rois_xywh)

@@ -90,7 +90,7 @@ def rpn_targets(
     """
     anchors = image_anchors_xyxy(feat_h, feat_w, scales, ratios, stride)
     n_anchors_per_cell = anchors.shape[2]
-    anchors_flat = anchors.reshape(-1, 4)  # (N, 4), N = H*W*A
+    anchors_flat = jnp.asarray(anchors.reshape(-1, 4))  # (N, 4), N = H*W*A
     n = anchors_flat.shape[0]
 
     a_valid = anchor_validity_mask(anchors_flat, valid_width, valid_height)

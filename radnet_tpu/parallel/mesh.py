@@ -34,10 +34,24 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
-    """A (data x model) mesh over the first ``n_devices`` devices."""
-    devices = jax.devices()
+def make_mesh(
+    n_devices: int | None = None,
+    model_parallel: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """A (data x model) mesh over ``devices`` (default: all devices).
+
+    When the default platform can't supply enough devices (e.g. a 1-chip
+    dev box asked for an 8-way mesh) this falls back to the virtual CPU
+    platform, which honours ``--xla_force_host_platform_device_count``.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices and len(devices) < n_devices:
+            devices = jax.devices("cpu")
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
     if n % model_parallel:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
     grid = np.array(devices[:n]).reshape(n // model_parallel, model_parallel)

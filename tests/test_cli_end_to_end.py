@@ -1,0 +1,128 @@
+"""End-to-end CLI slice: train -> cont_train -> load_radnet -> predict.
+
+The synthetic-dataset equivalent of the reference's manual workflow
+(README.md:23-44 of the reference): short joint RPN+detector training on a
+tiny on-disk dataset through the real ``train.py`` driver, resume via
+``cont_train.py``, then inference through the saved model directory.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.util import tiny_config
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    import cv2
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("cli")
+    cfg = tiny_config("vgg16")
+    cfg.tile_size = 100
+    cfg.tile_overlap = 50
+    cfg.use_noise = False
+    cfg.use_rotations = False
+    cfg.use_shear = False
+
+    rng = np.random.default_rng(0)
+    img_type = cfg.img_types[0]
+    for split in ("train", "val"):
+        rows = []
+        for i in range(3):
+            img = np.zeros((100, 100, 3), np.uint8)
+            x1, y1 = rng.integers(5, 30, 2)
+            w, h = rng.integers(30, 50, 2)
+            img[y1 : y1 + h, x1 : x1 + w] = int(rng.integers(90, 200))
+            name = f"{split}_{i}.png"
+            d = tmp / "data" / img_type / split
+            d.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(d / name), img)
+            rows.append(
+                {
+                    "img_path": name,
+                    "label": "boat" if i % 2 == 0 else "human",
+                    "xmin": x1,
+                    "ymin": y1,
+                    "xmax": x1 + w,
+                    "ymax": y1 + h,
+                }
+            )
+        pd.DataFrame(rows).to_csv(tmp / f"{split}.csv", index=False)
+
+    cfg_path = tmp / "tiny_config.json"
+    cfg.save(str(cfg_path))
+    return tmp, cfg
+
+
+def test_train_cont_and_predict(workspace, monkeypatch):
+    tmp, cfg = workspace
+    monkeypatch.chdir(tmp)
+
+    from radnet_tpu.cli.train import main as train_main
+
+    rc = train_main(
+        [
+            "--config-json", "tiny_config.json",
+            "--model-name", "smoke",
+            "--train-annot", "train.csv",
+            "--train-data", "data/train",
+            "--val-annot", "val.csv",
+            "--val-data", "data/val",
+            "--epoch-length", "2",
+            "--n-epochs", "1",
+        ]
+    )
+    assert rc == 0
+    model_dir = os.path.join("models", "faster_rcnn_vgg16_smoke")
+    assert os.path.exists(os.path.join(model_dir, "record.csv"))
+    assert os.path.exists(os.path.join(model_dir, "config.json"))
+    assert os.path.isdir(os.path.join(model_dir, "ckpt_last"))
+
+    from radnet_tpu.cli.cont_train import main as cont_main
+
+    rc = cont_main(
+        [
+            "--model-name", "faster_rcnn_vgg16_smoke",
+            "--train-annot", "train.csv",
+            "--train-data", "data/train",
+            "--epoch-length", "2",
+            "--n-epochs", "1",
+            "--no-validation",
+        ]
+    )
+    assert rc == 0
+    import pandas as pd
+
+    rec = pd.read_csv(os.path.join(model_dir, "record.csv"))
+    assert len(rec) == 2  # appended, not overwritten
+
+    # Inference through the saved artifacts.
+    from radnet_tpu.inference import load_radnet
+
+    radnet = load_radnet(model_dir)
+    radnet.bbox_threshold = 0.0
+    panel = np.zeros((100, 100, 3), np.uint8)
+    panel[20:70, 20:70] = 150
+    dets = radnet.predict([panel])
+    assert isinstance(dets, list)
+
+    # test.py evaluation path on the synthetic test=val split.
+    from radnet_tpu.cli.test import main as test_main
+
+    rc = test_main(
+        [
+            "--models-path", "models",
+            "--model-name", "faster_rcnn_vgg16_smoke",
+            "--test-annot", "val.csv",
+            "--test-data", "data/val",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(model_dir, "test_accuracy.json"))
+    with open(os.path.join(model_dir, "test_accuracy.json")) as f:
+        acc = json.load(f)
+    assert "mAP" in acc

@@ -1,0 +1,264 @@
+"""Data engine tests: tiling plan, augmentation invariants, generator flow."""
+
+import os
+
+import numpy as np
+import pytest
+
+from radnet_tpu.data import augment as aug
+from radnet_tpu.data.dataset import SampleSelector, get_data
+from radnet_tpu.data.pipeline import (
+    batch_samples,
+    batched,
+    make_sample,
+    resize_to_canvas,
+    tile_sample_generator,
+)
+from radnet_tpu.data.tiling import clip_boxes_to_tile, plan_tiles
+from tests.util import tiny_config
+
+
+# --------------------------------------------------------------------------- #
+# Tiling
+# --------------------------------------------------------------------------- #
+def test_plan_tiles_reference_geometry():
+    # 4000x4000 panel, 2000 tiles, step 400 => 6x6 windows, edge-snapped.
+    tiles = plan_tiles(4000, 4000, 2000, 400)
+    assert tiles.shape == (36, 4)
+    assert tiles[:, 0].min() == 0 and tiles[:, 2].max() == 4000
+    widths = tiles[:, 2] - tiles[:, 0]
+    assert (widths == 2000).all()
+
+
+def test_plan_tiles_small_image_single_window():
+    tiles = plan_tiles(500, 700, 2000, 400)
+    # image smaller than tile: single edge-snapped window covering it
+    assert tiles.shape == (1, 4)
+    np.testing.assert_array_equal(tiles[0], [0, 0, 500, 700])
+
+
+def test_clip_boxes_to_tile_threshold():
+    boxes = np.array(
+        [
+            [100, 100, 200, 200],  # fully inside
+            [-100, 100, 60, 200],  # half outside: keeps 60/160 < 0.75 -> drop
+            [950, 100, 1050, 200],  # 50% outside -> drop at 0.75
+            [980, 980, 1500, 1500],  # mostly outside -> drop
+        ]
+    )
+    clipped, keep = clip_boxes_to_tile(boxes, np.array([0, 0, 1000, 1000]), 0.75)
+    assert keep.tolist() == [True, False, False, False]
+    np.testing.assert_array_equal(clipped[0], [100, 100, 200, 200])
+
+
+# --------------------------------------------------------------------------- #
+# Augmentation invariants
+# --------------------------------------------------------------------------- #
+def _img_with_box():
+    img = np.zeros((80, 120, 3), np.uint8)
+    img[20:60, 30:90] = 128  # content region
+    boxes = [{"class": "boat", "x1": 30, "y1": 20, "x2": 90, "y2": 60}]
+    return img, boxes
+
+
+def test_horizontal_flip_roundtrip():
+    img, boxes = _img_with_box()
+    img2, boxes2 = aug.horizontal_flip(img.copy(), [dict(b) for b in boxes])
+    assert boxes2[0]["x1"] == 120 - 90 and boxes2[0]["x2"] == 120 - 30
+    img3, boxes3 = aug.horizontal_flip(img2, boxes2)
+    np.testing.assert_array_equal(img3, img)
+    assert boxes3 == boxes
+
+
+def test_vertical_flip_roundtrip():
+    img, boxes = _img_with_box()
+    img2, boxes2 = aug.vertical_flip(img.copy(), [dict(b) for b in boxes])
+    assert boxes2[0]["y1"] == 80 - 60 and boxes2[0]["y2"] == 80 - 20
+    img3, boxes3 = aug.vertical_flip(img2, boxes2)
+    np.testing.assert_array_equal(img3, img)
+    assert boxes3 == boxes
+
+
+def test_ninety_rotation_content_follows_box():
+    rng = np.random.default_rng(5)
+    for _ in range(6):
+        img, boxes = _img_with_box()
+        img2, boxes2 = aug.ninety_degree_rotation(img.copy(), [dict(b) for b in boxes], rng)
+        b = boxes2[0]
+        # box must stay within image bounds and have positive area
+        h, w = img2.shape[:2]
+        assert 0 <= b["x1"] < b["x2"] <= w
+        assert 0 <= b["y1"] < b["y2"] <= h
+        # content region inside the box must be nonzero
+        crop = img2[b["y1"] : b["y2"], b["x1"] : b["x2"]]
+        assert crop.mean() > 60
+
+
+def test_any_degree_rotation_keeps_box_on_content():
+    rng = np.random.default_rng(7)
+    img, boxes = _img_with_box()
+    img2, boxes2 = aug.any_degree_rotation(img.copy(), [dict(b) for b in boxes], rng)
+    assert len(boxes2) == 1
+    b = boxes2[0]
+    h, w = img2.shape[:2]
+    assert 0 <= b["x1"] < b["x2"] <= w + 1
+    assert 0 <= b["y1"] < b["y2"] <= h + 1
+    crop = img2[max(b["y1"], 0) : b["y2"], max(b["x1"], 0) : b["x2"]]
+    assert crop.mean() > 30
+
+
+def test_shear_preserves_box_validity():
+    rng = np.random.default_rng(11)
+    img, boxes = _img_with_box()
+    img2, boxes2 = aug.shear(img.copy(), [dict(b) for b in boxes], rng)
+    b = boxes2[0]
+    assert b["x2"] > b["x1"] and b["y2"] > b["y1"]
+
+
+def test_brightness_preserves_background():
+    rng = np.random.default_rng(3)
+    img, boxes = _img_with_box()
+    out, _ = aug.brightness(img.copy(), boxes, rng)
+    assert (out[img == 0] == 0).all()
+    assert out.dtype == np.uint8
+
+
+def test_noise_ops_preserve_background_and_dtype():
+    rng = np.random.default_rng(3)
+    img, boxes = _img_with_box()
+    for fn in (aug.salt_and_pepper_noise, aug.gaussian_noise, aug.poisson_noise):
+        out, _ = fn(img.copy(), boxes, "enhanced_topo_grey", rng)
+        assert out.dtype == np.uint8
+        assert (out[img[:, :, 0] == 0, 0] == 0).all(), fn.__name__
+        # grey-aware: all three channels identical
+        np.testing.assert_array_equal(out[:, :, 0], out[:, :, 1])
+
+
+def test_contrast_output_range():
+    rng = np.random.default_rng(9)
+    img, boxes = _img_with_box()
+    out, _ = aug.contrast(img.copy(), boxes, rng)
+    assert out.dtype == np.uint8
+
+
+def test_augment_disabled_is_identity():
+    img, boxes = _img_with_box()
+    data = {"filepath": "x", "width": 120, "height": 80, "bboxes": boxes}
+    out_data, out_img = aug.augment(data, img, tiny_config(), do_augment=False)
+    np.testing.assert_array_equal(out_img, img)
+    assert out_data["bboxes"] == boxes
+
+
+# --------------------------------------------------------------------------- #
+# Sample construction + generator
+# --------------------------------------------------------------------------- #
+def test_resize_to_canvas_and_sample():
+    cfg = tiny_config()
+    img = np.full((120, 240, 3), 100, np.uint8)  # 2:1 landscape
+    canvas, scale, vw, vh = resize_to_canvas(img, cfg.img_size, cfg.canvas_size)
+    assert canvas.shape == (64, 64, 3)
+    assert vw == 60 and vh == 30
+    assert scale == 60 / 240
+    # padding is zero
+    assert (canvas[vh:, :, :] == 0).all() and (canvas[:, vw:, :] == 0).all()
+
+    boxes = [{"class": "boat", "x1": 40, "y1": 20, "x2": 200, "y2": 100}]
+    sample = make_sample(img, boxes, cfg, cfg.class_mapping)
+    assert sample["image"].shape == (64, 64, 3)
+    assert sample["gt_mask"][0] and not sample["gt_mask"][1]
+    np.testing.assert_allclose(
+        sample["gt_boxes"][0], np.array([40, 20, 200, 100]) * 0.25, atol=1e-5
+    )
+
+
+def test_sample_selector_round_robin():
+    sel = SampleSelector({"boat": 3, "human": 2, "bg": 0})
+    assert sel.classes == ["boat", "human"]
+    img_boat = {"bboxes": [{"class": "boat"}]}
+    img_human = {"bboxes": [{"class": "human"}]}
+    assert not sel.skip_tile_for_balanced_class(img_boat)  # wanted boat -> hit
+    assert sel.curr_class == "human"
+    assert sel.skip_tile_for_balanced_class(img_boat)  # wants human now
+    assert not sel.skip_tile_for_balanced_class(img_human)
+
+
+def _write_synthetic_dataset(tmp_path, cfg, n_images=3):
+    """Tiny on-disk dataset in the reference layout: data/<type>/img_i.png"""
+    import cv2
+    import pandas as pd
+
+    img_type = cfg.img_types[0]
+    rows = []
+    rng = np.random.default_rng(0)
+    for i in range(n_images):
+        img = np.zeros((100, 100, 3), np.uint8)
+        x1, y1 = rng.integers(5, 30, 2)
+        w, h = rng.integers(30, 50, 2)
+        img[y1 : y1 + h, x1 : x1 + w] = rng.integers(90, 200)
+        name = f"img_{i}.png"
+        d = tmp_path / "data" / img_type
+        d.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(d / name), img)
+        cls = "boat" if i % 2 == 0 else "human"
+        rows.append(
+            {"img_path": name, "label": cls, "xmin": x1, "ymin": y1,
+             "xmax": x1 + w, "ymax": y1 + h}
+        )
+    csv = tmp_path / "annot.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    return str(csv), str(tmp_path / "data")
+
+
+def test_get_data_and_generator_end_to_end(tmp_path, monkeypatch):
+    cfg = tiny_config()
+    cfg.tile_size = 100
+    cfg.tile_overlap = 50
+    cfg.use_noise = False  # keep CPU time down
+    _write_synthetic_dataset(tmp_path, cfg)
+    # The image-type directory is the second *relative* path segment
+    # (utils.py:124-126), so address the dataset relatively.
+    monkeypatch.chdir(tmp_path)
+    csv, data_path = "annot.csv", "data"
+
+    data, class_count, class_mapping = get_data(csv, data_path, cfg.img_types)
+    assert len(data) == 3
+    assert class_count["boat"] == 2 and class_count["human"] == 1
+    assert class_mapping["bg"] == len(class_mapping) - 1
+    assert data[0]["width"] == 100 and data[0]["height"] == 100
+
+    gen = tile_sample_generator(
+        data, cfg, class_count, cfg.class_mapping, train_mode=True, seed=1
+    )
+    seen = 0
+    for sample in gen:
+        assert sample["image"].shape == (64, 64, 3)
+        assert sample["gt_mask"].any()
+        seen += 1
+        if seen >= 4:
+            break
+    assert seen == 4
+
+    # validation generator terminates
+    val_gen = tile_sample_generator(
+        data, cfg, class_count, cfg.class_mapping, train_mode=False, seed=1
+    )
+    val_samples = list(val_gen)
+    assert 1 <= len(val_samples) <= 6
+
+
+def test_batched_pads_partial_batches():
+    cfg = tiny_config()
+    samples = [
+        {
+            "image": np.zeros((64, 64, 3), np.float32),
+            "gt_boxes": np.zeros((8, 4), np.float32),
+            "gt_classes": np.zeros((8,), np.int32),
+            "gt_mask": np.zeros((8,), bool),
+            "valid_wh": np.array([60.0, 60.0], np.float32),
+            "sample_valid": np.asarray(True),
+        }
+    ] * 3
+    batches = list(batched(iter(samples), 2, cfg))
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (2, 64, 64, 3)
+    assert batches[1]["sample_valid"].tolist() == [True, False]

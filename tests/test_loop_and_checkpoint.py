@@ -1,0 +1,95 @@
+"""Training loop + checkpoint/resume: record.csv contract, best-ckpt logic."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+from radnet_tpu.engine import checkpoint as ckpt
+from radnet_tpu.engine.loop import RECORD_COLUMNS, fit
+from radnet_tpu.engine.steps import make_eval_step, make_train_step
+from radnet_tpu.engine.train_state import create_train_state
+from radnet_tpu.models.detector import build_model
+from tests.util import synthetic_batch, tiny_config
+
+
+import pytest
+
+
+def _batch_iter(cfg, n=1000):
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()}
+    for _ in range(n):
+        yield batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg)
+    estep = make_eval_step(model, cfg)
+    return cfg, model, state, step, estep
+
+
+def test_fit_writes_record_and_checkpoints(tmp_path, setup):
+    cfg, model, state, train_step, eval_step = setup
+    model_path = str(tmp_path / "m")
+
+    def val_factory():
+        return _batch_iter(cfg, n=2)
+
+    state, record = fit(
+        cfg,
+        state,
+        train_step,
+        _batch_iter(cfg),
+        model_path,
+        epoch_length=2,
+        n_epochs=2,
+        eval_step=eval_step,
+        val_batches_factory=val_factory,
+        verbose=False,
+    )
+    assert int(state.step) == 4
+
+    rec = pd.read_csv(os.path.join(model_path, "record.csv"))
+    assert list(rec.columns) == RECORD_COLUMNS
+    assert len(rec) == 2
+    assert np.isfinite(rec["total_loss"]).all()
+    assert os.path.isdir(os.path.join(model_path, "ckpt_best"))
+    assert os.path.isdir(os.path.join(model_path, "ckpt_last"))
+    assert os.path.exists(os.path.join(model_path, "metrics.jsonl"))
+    for png in ("accuracy.png", "rpn_loss.png", "detector_loss.png", "total_loss.png"):
+        assert os.path.exists(os.path.join(model_path, "viz", png))
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    cfg, model, state, step, _ = setup
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()}
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, state, best_total_loss=1.25)
+
+    template = create_train_state(model, cfg, jax.random.PRNGKey(99))
+    restored, best = ckpt.restore_checkpoint(path, template)
+    assert best == 1.25
+    assert int(restored.step) == 1
+    a = state.params["rpn"]["rpn_conv1"]["kernel"]
+    b = restored.params["rpn"]["rpn_conv1"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # params-only restore keeps a fresh optimizer (reference resume
+    # semantics, cont_train.py:155,164)
+    fresh = ckpt.restore_params_only(path, template)
+    assert int(fresh.step) == 0
+    np.testing.assert_array_equal(
+        np.asarray(fresh.params["rpn"]["rpn_conv1"]["kernel"]), np.asarray(b)
+    )
+
+    # restored state continues training
+    state2, metrics = step(restored, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))

@@ -1,0 +1,62 @@
+"""Mesh sharding: dp x tp train step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radnet_tpu.engine.steps import make_train_step
+from radnet_tpu.engine.train_state import create_train_state
+from radnet_tpu.models.detector import build_model
+from radnet_tpu.parallel import batch_sharding, make_mesh, make_param_shardings, shard_train_state
+from radnet_tpu.parallel.mesh import MODEL_AXIS
+from tests.util import synthetic_batch, tiny_config
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8, model_parallel=2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")
+
+
+def test_param_shardings_tp_rules():
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(8, model_parallel=2)
+    sh = make_param_shardings(state.params, mesh)
+    fc1 = sh["head"]["fc1"]["kernel"]
+    assert fc1.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+    fc2 = sh["head"]["fc2"]["kernel"]
+    assert fc2.spec == jax.sharding.PartitionSpec(MODEL_AXIS, None)
+    # everything else replicated
+    assert sh["trunk"]["block1_conv1"]["kernel"].spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_train_step_matches_single_device():
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    step = make_train_step(model, cfg)
+    batch_np = synthetic_batch(cfg, batch=4)
+    rng = jax.random.PRNGKey(7)
+
+    # single-device run
+    state0 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    _, metrics_single = step(state0, batch1, rng)
+    metrics_single = jax.device_get(metrics_single)
+
+    # 4x2 mesh run (dp over the 4-sample batch, tp over the head)
+    mesh = make_mesh(8, model_parallel=2)
+    with mesh:
+        state_sh = shard_train_state(
+            create_train_state(model, cfg, jax.random.PRNGKey(0)), mesh
+        )
+        batch_sh = jax.device_put(batch_np, batch_sharding(mesh))
+        new_state, metrics_mesh = step(state_sh, batch_sh, rng)
+        metrics_mesh = jax.device_get(metrics_mesh)
+        jax.block_until_ready(new_state.params)
+
+    for k in ("total_loss", "loss_rpn_cls", "loss_detector_cls"):
+        np.testing.assert_allclose(
+            metrics_single[k], metrics_mesh[k], rtol=2e-3, atol=2e-4
+        )

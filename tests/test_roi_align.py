@@ -3,7 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from radnet_tpu.ops.roi_align import batched_roi_pool, roi_pool
+from radnet_tpu.ops.roi_align import batched_roi_pool, roi_pool, roi_pool_matmul
 
 
 def test_constant_map_pools_constant():
@@ -41,6 +41,26 @@ def test_batched_shapes():
     rois = jnp.tile(jnp.array([[1.0, 1.0, 4.0, 4.0]]), (3, 5, 1))
     out = batched_roi_pool(fmaps, rois, pool_size=14)
     assert out.shape == (3, 5, 14, 14, 8)
+
+
+def test_matmul_path_matches_gather_path():
+    rng = np.random.default_rng(1)
+    fmap = jnp.asarray(rng.normal(size=(24, 24, 16)).astype(np.float32))
+    rois = jnp.asarray(
+        np.array(
+            [
+                [0.0, 0.0, 24.0, 24.0],
+                [3.0, 5.0, 9.0, 7.0],
+                [10.0, 10.0, 1.0, 1.0],
+                [20.0, 20.0, 8.0, 8.0],  # clipped at the border internally
+            ],
+            np.float32,
+        )
+    )
+    for pool in (7, 14):
+        a = np.asarray(roi_pool(fmap, rois, pool_size=pool))
+        b = np.asarray(roi_pool_matmul(fmap, rois, pool_size=pool))
+        np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 def test_dtype_preserved():

@@ -11,14 +11,19 @@ from radnet_tpu.models.detector import build_model
 from tests.util import synthetic_batch, tiny_config
 
 
-@pytest.mark.parametrize("network", ["vgg16"])
-def test_train_step_updates_and_metrics(network):
-    cfg = tiny_config(network)
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config("vgg16")
     model = build_model(cfg)
-    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), learning_rate=1e-3)
     step = make_train_step(model, cfg)
+    estep = make_eval_step(model, cfg)
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()}
+    return cfg, model, state, step, estep, batch
 
+
+def test_train_step_updates_and_metrics(setup):
+    cfg, model, state, step, _, batch = setup
     state1, metrics = step(state, batch, jax.random.PRNGKey(1))
     metrics = jax.device_get(metrics)
     for k in (
@@ -32,7 +37,7 @@ def test_train_step_updates_and_metrics(network):
     ):
         assert np.isfinite(metrics[k]), k
 
-    assert int(state1.step) == 1
+    assert int(state1.step) == int(state.step) + 1
 
     # RPN params must move; frozen trunk blocks must not.
     before = state.params["rpn"]["rpn_conv1"]["kernel"]
@@ -49,10 +54,8 @@ def test_train_step_updates_and_metrics(network):
     np.testing.assert_array_equal(np.asarray(b5b), np.asarray(b5a))
 
 
-def test_trainability_labels_cont_mode():
-    cfg = tiny_config("vgg16")
-    model = build_model(cfg)
-    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+def test_trainability_labels_cont_mode(setup):
+    _, _, state, _, _, _ = setup
     labels = trainability_labels(state.params, "vgg16", base_net_trainable=True)
     assert labels["trunk"]["block1_conv1"]["kernel"] == "frozen"
     assert labels["trunk"]["block3_conv1"]["kernel"] == "train"
@@ -60,12 +63,8 @@ def test_trainability_labels_cont_mode():
     assert labels["head"]["fc1"]["kernel"] == "train"
 
 
-def test_eval_step_runs_and_masks_padding():
-    cfg = tiny_config("vgg16")
-    model = build_model(cfg)
-    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
-    estep = make_eval_step(model, cfg)
-
+def test_eval_step_runs_and_masks_padding(setup):
+    cfg, model, state, _, estep, _ = setup
     batch = synthetic_batch(cfg)
     batch["sample_valid"] = np.array([True, False])  # second sample padded
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -81,17 +80,11 @@ def test_eval_step_runs_and_masks_padding():
     assert metrics_pad["mean_overlapping_bboxes"] == 0.0
 
 
-def test_loss_decreases_over_steps():
-    cfg = tiny_config("vgg16")
-    model = build_model(cfg)
-    state = create_train_state(model, cfg, jax.random.PRNGKey(0), learning_rate=1e-3)
-    step = make_train_step(model, cfg)
-    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()}
-
-    first = None
-    last = None
-    for i in range(8):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100))  # same rng: fixed targets
+def test_loss_decreases_over_steps(setup):
+    cfg, model, state, step, _, batch = setup
+    first = last = None
+    for _ in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100))  # fixed targets
         total = float(metrics["loss_rpn_cls"])
         if first is None:
             first = total
