@@ -24,7 +24,12 @@ import pandas as pd
 
 from radnet_tpu.config import Config
 from radnet_tpu.data.dataset import get_data
-from radnet_tpu.data.pipeline import batched, prefetch_to_device, tile_sample_generator
+from radnet_tpu.data.pipeline import (
+    batched,
+    parallel_sample_generator,
+    prefetch_to_device,
+    tile_sample_generator,
+)
 from radnet_tpu.engine import checkpoint as ckpt
 from radnet_tpu.engine.loop import fit
 from radnet_tpu.engine.steps import make_eval_step, make_train_step
@@ -44,6 +49,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--epoch-length", type=int, default=173)
     p.add_argument("--n-epochs", type=int, default=1000)  # cont_train.py:52
     p.add_argument("--no-validation", action="store_true")
+    p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--lr", type=float, default=2e-5)  # cont_train.py:170
     p.add_argument("--fresh-optimizer", action="store_true")
     return p
@@ -89,9 +95,9 @@ def main(argv=None) -> int:
     train_step = make_train_step(model, config)
     eval_step = make_eval_step(model, config) if use_val else None
 
-    train_samples = tile_sample_generator(
+    train_samples = parallel_sample_generator(
         data_train, config, class_count, config.class_mapping,
-        train_mode=True, seed=args.seed,
+        num_workers=args.num_workers, seed=args.seed,
     )
     train_batches = prefetch_to_device(
         batched(train_samples, config.batch_size, config, drop_remainder=True)

@@ -19,7 +19,7 @@ import numpy as np
 
 from radnet_tpu.config import Config
 from radnet_tpu.data.dataset import get_data
-from radnet_tpu.data.pipeline import IMAGENET_BGR_MEAN, tile_sample_generator
+from radnet_tpu.data.pipeline import tile_sample_generator
 from radnet_tpu.ops import targets as targets_ops
 from radnet_tpu.ops.anchors import image_anchors_xyxy
 
@@ -80,9 +80,7 @@ def main(argv=None) -> int:
               f"gt={int(sample['gt_mask'].sum())} n_pos={int(out.n_pos)} "
               f"y_rpn_cls={y_cls.shape}")
 
-        # un-preprocess for display
-        img = np.clip(sample["image"] + IMAGENET_BGR_MEAN, 0, 255).astype(np.uint8)
-        img = np.ascontiguousarray(img)
+        img = np.ascontiguousarray(sample["image"])  # raw uint8 canvas
         for jy, ix, ai in zip(*np.nonzero(pos)):
             x1, y1, x2, y2 = anchors[jy, ix, ai].astype(int)
             cv2.rectangle(img, (x1, y1), (x2, y2), (0, 200, 255), 1)

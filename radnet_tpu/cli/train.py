@@ -21,7 +21,12 @@ import numpy as np
 from radnet_tpu.cli.common import silly_name_gen
 from radnet_tpu.config import Config
 from radnet_tpu.data.dataset import get_data
-from radnet_tpu.data.pipeline import batched, prefetch_to_device, tile_sample_generator
+from radnet_tpu.data.pipeline import (
+    batched,
+    parallel_sample_generator,
+    prefetch_to_device,
+    tile_sample_generator,
+)
 from radnet_tpu.engine.loop import create_model_folder, fit
 from radnet_tpu.engine.steps import make_eval_step, make_train_step
 from radnet_tpu.engine.train_state import create_train_state
@@ -40,6 +45,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--epoch-length", type=int, default=173)  # steps/epoch
     p.add_argument("--n-epochs", type=int, default=100)
     p.add_argument("--no-validation", action="store_true")
+    p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--network", default=None, help="vgg16 | resnet50")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=5e-5)  # Adam(1e-5*5), train.py:237
@@ -93,9 +99,9 @@ def main(argv=None) -> int:
     eval_step = make_eval_step(model, config) if use_val else None
 
     # Pipelines.
-    train_samples = tile_sample_generator(
+    train_samples = parallel_sample_generator(
         data_train, config, class_count, config.class_mapping,
-        train_mode=True, seed=args.seed,
+        num_workers=args.num_workers, seed=args.seed,
     )
     train_batches = prefetch_to_device(
         batched(train_samples, config.batch_size, config, drop_remainder=True)

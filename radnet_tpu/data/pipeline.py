@@ -43,8 +43,22 @@ IMAGENET_BGR_MEAN = np.array([103.939, 116.779, 123.68], dtype=np.float32)
 
 
 def preprocess_image(img_bgr: np.ndarray) -> np.ndarray:
-    """BGR uint8 -> float32, ImageNet-mean-centered (caffe convention)."""
+    """BGR uint8 -> float32, ImageNet-mean-centered (caffe convention).
+
+    Host-side variant; the hot paths ship uint8 canvases and run
+    :func:`preprocess_on_device` inside jit instead (4x fewer bytes over
+    the host->device link).
+    """
     return img_bgr.astype(np.float32) - IMAGENET_BGR_MEAN
+
+
+def preprocess_on_device(images):
+    """uint8 (or float) BGR canvases -> mean-centered float32, under jit."""
+    import jax.numpy as jnp
+
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) - jnp.asarray(IMAGENET_BGR_MEAN)
+    return images.astype(jnp.float32)
 
 
 def resize_to_canvas(
@@ -75,7 +89,8 @@ def make_sample(
     canvas, scale, valid_w, valid_h = resize_to_canvas(
         img_bgr, config.img_size, config.canvas_size
     )
-    image = preprocess_image(canvas)
+    # Ship the raw uint8 canvas; mean-centering happens on device.
+    image = np.ascontiguousarray(canvas, dtype=np.uint8)
 
     g = config.max_gt_boxes
     gt_boxes = np.zeros((g, 4), dtype=np.float32)
@@ -102,7 +117,7 @@ def pad_sample(config: Config) -> dict[str, np.ndarray]:
     """An all-masked sample used to fill partial validation batches."""
     s = config.canvas_size
     return {
-        "image": np.zeros((s, s, 3), dtype=np.float32),
+        "image": np.zeros((s, s, 3), dtype=np.uint8),
         "gt_boxes": np.zeros((config.max_gt_boxes, 4), dtype=np.float32),
         "gt_classes": np.zeros((config.max_gt_boxes,), dtype=np.int32),
         "gt_mask": np.zeros((config.max_gt_boxes,), dtype=bool),
@@ -247,6 +262,61 @@ def batched(
         while len(buf) < batch_size:
             buf.append(pad_sample(config))
         yield batch_samples(buf)
+
+
+def parallel_sample_generator(
+    data: list[dict[str, Any]],
+    config: Config,
+    class_count: dict[str, int],
+    class_mapping: dict[str, int],
+    *,
+    num_workers: int = 4,
+    seed: int = 0,
+    queue_size: int = 64,
+    image_loader=get_image,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Training-mode sample stream from ``num_workers`` augmentation threads.
+
+    The reference feeds training from a single python generator doing
+    imread + augmentation + target-gen inline (utils.py:310-552), which
+    caps the whole run at one CPU core.  Here each worker runs its own
+    :func:`tile_sample_generator` over the full dataset with a distinct
+    seed (shuffle order and augmentation draws differ per worker); cv2 /
+    numpy release the GIL for the heavy ops, so workers genuinely overlap.
+    Infinite stream; ordering is nondeterministic across workers by design
+    (training-only - validation uses the sequential generator).
+    """
+    q: queue.Queue = queue.Queue(maxsize=queue_size)
+    stop = threading.Event()
+
+    def worker(wid: int) -> None:
+        gen = tile_sample_generator(
+            data,
+            config,
+            class_count,
+            class_mapping,
+            train_mode=True,
+            seed=seed + 1000 * wid,
+            image_loader=image_loader,
+        )
+        while not stop.is_set():
+            try:
+                sample = next(gen)
+            except StopIteration:  # pragma: no cover - train mode is infinite
+                return
+            q.put(sample)
+
+    threads = [
+        threading.Thread(target=worker, args=(w,), daemon=True)
+        for w in range(num_workers)
+    ]
+    for t in threads:
+        t.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()
 
 
 def prefetch_to_device(

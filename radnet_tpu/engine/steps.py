@@ -60,8 +60,12 @@ def compute_losses(
     deterministic: bool,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Forward pass + all four losses for one batch of tiles."""
+    from radnet_tpu.data.pipeline import preprocess_on_device
+
     variables = {"params": params, "batch_stats": batch_stats}
-    images = batch["image"]
+    # uint8 canvases are mean-centered here on device (pipeline ships raw
+    # bytes to quarter the host->device traffic); float inputs pass through.
+    images = preprocess_on_device(batch["image"])
     b = images.shape[0]
     num_anchors = config.n_anchors
     scales = tuple(config.anchor_box_scales)

@@ -33,12 +33,12 @@ import jax.numpy as jnp
 
 from radnet_tpu.config import Config
 from radnet_tpu.data.dataset import get_image
-from radnet_tpu.data.pipeline import preprocess_image, resize_to_canvas
+from radnet_tpu.data.pipeline import preprocess_on_device, resize_to_canvas
 from radnet_tpu.data.tiling import plan_tiles
 from radnet_tpu.engine.steps import feature_extent
 from radnet_tpu.geometry import decode_boxes
 from radnet_tpu.models.detector import FasterRCNN, build_model
-from radnet_tpu.ops.nms import final_nms_cluster, nms_fixed, nms_numpy
+from radnet_tpu.ops.nms import final_nms_cluster, nms_fixed_point, nms_numpy
 from radnet_tpu.ops.proposals import batched_decode_proposals
 
 
@@ -73,6 +73,7 @@ class RADNet:
         scales = tuple(cfg.anchor_box_scales)
         ratios = tuple(tuple(r) for r in cfg.anchor_box_ratios)
 
+        images = preprocess_on_device(images)
         fmap = self.model.apply(self.variables, images, method=FasterRCNN.features)
         rpn_cls, rpn_regr = self.model.apply(self.variables, fmap, method=FasterRCNN.rpn)
 
@@ -122,7 +123,7 @@ class RADNet:
         def one_tile(tile_boxes, tile_probs, tile_cls, tile_keep):
             def one_class(c):
                 v = tile_keep & (tile_cls == c)
-                return nms_fixed(
+                return nms_fixed_point(
                     tile_boxes,
                     tile_probs,
                     v,
@@ -146,7 +147,9 @@ class RADNet:
         bs = cfg.infer_tile_batch
         for start in range(0, len(tiles), bs):
             chunk = tiles[start : start + bs]
-            imgs = np.zeros((bs, cfg.canvas_size, cfg.canvas_size, 3), np.float32)
+            # uint8 canvases: mean-centering runs on device, so each tile
+            # ships 1 byte/channel instead of 4 over the host->device link.
+            imgs = np.zeros((bs, cfg.canvas_size, cfg.canvas_size, 3), np.uint8)
             wh = np.full((bs, 2), float(cfg.canvas_size), np.float32)
             scales = np.ones((bs,), np.float64)
             n = len(chunk)
@@ -155,7 +158,7 @@ class RADNet:
                 canvas, scale, vw, vh = resize_to_canvas(
                     tile_img, cfg.img_size, cfg.canvas_size
                 )
-                imgs[i] = preprocess_image(canvas)
+                imgs[i] = canvas
                 wh[i] = (vw, vh)
                 scales[i] = scale
             yield imgs, wh, scales, chunk, n
@@ -220,10 +223,16 @@ class RADNet:
     def _accumulate_tiles(self, img, tiles, bbox_total, probs_total) -> None:
         cfg = self.C
         n_fg = cfg.n_classes - 1
+        # Phase 1: dispatch every tile batch.  jax execution is async, so
+        # transfers and compute of batch k+1 overlap with batch k (the
+        # reference blocks on the device ~16x per tile, RADNet.py:543-604).
+        pending = []
         for imgs, wh, scales, chunk, n in self._tile_batches(img, tiles):
-            boxes, scores, valid = jax.device_get(
-                self._predict_tiles(jnp.asarray(imgs), jnp.asarray(wh))
-            )
+            out = self._predict_tiles(jnp.asarray(imgs), jnp.asarray(wh))
+            pending.append((out, scales, chunk, n))
+        # Phase 2: drain results in order.
+        for out, scales, chunk, n in pending:
+            boxes, scores, valid = jax.device_get(out)
             for i in range(n):
                 tile = chunk[i]
                 ratio = scales[i]
@@ -290,6 +299,7 @@ class RADNet:
 
         @jax.jit
         def fn(images, valid_wh):
+            images = preprocess_on_device(images)
             fmap = self.model.apply(self.variables, images, method=FasterRCNN.features)
             rpn_cls, rpn_regr = self.model.apply(
                 self.variables, fmap, method=FasterRCNN.rpn

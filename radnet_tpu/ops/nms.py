@@ -91,6 +91,65 @@ def nms_fixed(
     return out_boxes, out_scores, out_valid
 
 
+@functools.partial(jax.jit, static_argnames=("max_out", "cast_int"))
+def nms_fixed_point(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    *,
+    max_out: int,
+    cast_int: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS computed as a parallel fixed-point iteration.
+
+    The greedy-kept set is the unique solution of
+      kept[i] = valid[i] and no j with (score[j] > score[i], kept[j],
+      iou[i, j] > thresh)
+    (induction over descending score).  Jacobi-iterating that relation
+    converges to the same set in <= suppression-chain-length rounds - a
+    handful in practice - replacing ``max_out`` (300) *sequential* argmax
+    steps with a few (N, N) masked matrix reductions that the VPU eats.
+    Identical output contract to :func:`nms_fixed` (which remains as the
+    sequential reference implementation; equivalence is pinned by tests).
+    """
+    n = boxes.shape[0]
+    boxes = boxes.astype(jnp.float32)
+    s = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
+
+    # Strict score dominance; index as tiebreak for exact-equal scores so
+    # the relation stays a strict partial order (argsort-stable like the
+    # reference's ascending argsort + last-first scan, rpn.py:415-424).
+    idx = jnp.arange(n)
+    higher = (s[None, :] > s[:, None]) | (
+        (s[None, :] == s[:, None]) & (idx[None, :] > idx[:, None])
+    )
+    overlap = iou_matrix(boxes, boxes) > iou_thresh
+    dominates = higher & overlap  # [i, j]: j can suppress i
+
+    def cond(carry):
+        kept, changed, rounds = carry
+        return changed & (rounds < n)
+
+    def body(carry):
+        kept, _, rounds = carry
+        suppressed = jnp.any(dominates & kept[None, :], axis=1)
+        new_kept = valid & ~suppressed
+        return new_kept, jnp.any(new_kept != kept), rounds + 1
+
+    kept0 = valid
+    kept, _, _ = jax.lax.while_loop(cond, body, (kept0, jnp.asarray(True), 0))
+
+    kept_scores = jnp.where(kept, s, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, max_out)
+    out_valid = top_scores > NEG_INF
+    out_boxes = jnp.where(out_valid[:, None], boxes[top_idx], 0.0)
+    out_scores = jnp.where(out_valid, top_scores, 0.0)
+    if cast_int:
+        out_boxes = jnp.floor(out_boxes)
+    return out_boxes, out_scores, out_valid
+
+
 def batched_nms(boxes, scores, valid, iou_thresh, *, max_out, cast_int=False):
     """vmap of :func:`nms_fixed` over a leading batch axis."""
     fn = functools.partial(

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from radnet_tpu.geometry import decode_boxes
 from radnet_tpu.ops.anchors import feature_anchors_xywh
-from radnet_tpu.ops.nms import nms_fixed, topk_candidates
+from radnet_tpu.ops.nms import nms_fixed_point, topk_candidates
 
 
 class Proposals(NamedTuple):
@@ -90,7 +90,7 @@ def decode_proposals(
     cand_boxes, cand_scores, cand_valid = topk_candidates(
         boxes, scores, valid, min(pre_nms_top_n, boxes.shape[0])
     )
-    out_boxes, out_scores, out_valid = nms_fixed(
+    out_boxes, out_scores, out_valid = nms_fixed_point(
         cand_boxes,
         cand_scores,
         cand_valid,

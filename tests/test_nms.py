@@ -62,6 +62,34 @@ def test_nms_matches_reference_greedy():
         np.testing.assert_allclose(got_s, want_probs, atol=1e-5)
 
 
+def test_fixed_point_nms_equals_sequential_greedy():
+    """The parallel fixed-point NMS must produce exactly the greedy set."""
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        n = 200
+        boxes = _random_boxes(rng, n, size=60)  # heavy overlap
+        probs = rng.uniform(0.01, 1.0, n)
+        valid = rng.random(n) > 0.1
+        for thresh in (0.2, 0.5, 0.7):
+            a = nms.nms_fixed(
+                jnp.asarray(boxes, jnp.float32),
+                jnp.asarray(probs, jnp.float32),
+                jnp.asarray(valid),
+                thresh,
+                max_out=50,
+            )
+            b = nms.nms_fixed_point(
+                jnp.asarray(boxes, jnp.float32),
+                jnp.asarray(probs, jnp.float32),
+                jnp.asarray(valid),
+                thresh,
+                max_out=50,
+            )
+            np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+            np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-6)
+
+
 def test_nms_max_out_truncates():
     rng = np.random.default_rng(0)
     boxes = _random_boxes(rng, 50, size=1000)  # mostly non-overlapping
