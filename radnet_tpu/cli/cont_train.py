@@ -82,7 +82,17 @@ def main(argv=None) -> int:
         state = ckpt.restore_params_only(ckpt_path, template)
         best = float("inf")
     else:
-        state, best = ckpt.restore_checkpoint(ckpt_path, template)
+        try:
+            state, best = ckpt.restore_checkpoint(ckpt_path, template)
+        except Exception:
+            # The optimizer partition changed between train and cont-train
+            # (base_net_trainable vs base_net_cont_trainable labels different
+            # leaves), so the saved moments do not line up - fall back to the
+            # reference's weights-only resume (cont_train.py:155,164).
+            print("Optimizer state incompatible with cont-train partition; "
+                  "restoring params only (fresh optimizer).")
+            state = ckpt.restore_params_only(ckpt_path, template)
+            best = float("inf")
 
     # Seed the best-loss watermark from record.csv like cont_train.py:203-206.
     record = None

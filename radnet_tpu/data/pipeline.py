@@ -126,6 +126,59 @@ def pad_sample(config: Config) -> dict[str, np.ndarray]:
     }
 
 
+def get_new_img_size(
+    width: int, height: int, img_min_side: int = 300
+) -> tuple[int, int]:
+    """Shortest-side resize dims, the reference's sizing rule
+    (utils.py:65-75).  The fixed-canvas pipeline uses the longest-side rule
+    in :func:`resize_to_canvas` instead (identical for square tiles); this
+    helper is kept for API parity and aspect computations."""
+    if width <= height:
+        f = float(img_min_side) / width
+        return img_min_side, int(f * height)
+    f = float(img_min_side) / height
+    return int(f * width), img_min_side
+
+
+def image_sample_generator(
+    data: list[dict[str, Any]],
+    config: Config,
+    class_mapping: dict[str, int],
+    train_mode: bool = True,
+    seed: int = 0,
+    image_loader=get_image,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Full-image (non-tiled) sample stream - the reference's plain
+    ``get_generator`` (utils.py:222-307): shuffle in train mode, augment,
+    resize, yield one fixed-shape sample per image.  Finite in eval mode.
+
+    Note: a full panel squeezed onto the 608-canvas loses small figures;
+    tiling (:func:`tile_sample_generator`) is the production path, exactly
+    as in the reference where train.py uses the tile generator.
+    """
+    rng = np.random.default_rng(seed)
+    data = list(data)
+    while True:
+        if train_mode:
+            rng.shuffle(data)
+        for img_data in data:
+            img = image_loader(
+                img_data["filepath"], config.img_types, random_type=config.use_img_type
+            )
+            meta = {
+                "filepath": img_data["filepath"],
+                "width": img.shape[1],
+                "height": img.shape[0],
+                "bboxes": [dict(b) for b in img_data["bboxes"]],
+            }
+            meta, img = aug.augment(meta, img, config, do_augment=train_mode, rng=rng)
+            if not meta["bboxes"]:
+                continue
+            yield make_sample(img, meta["bboxes"], config, class_mapping)
+        if not train_mode:
+            return
+
+
 def tile_sample_generator(
     data: list[dict[str, Any]],
     config: Config,

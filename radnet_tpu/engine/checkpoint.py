@@ -48,6 +48,16 @@ def restore_checkpoint(
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, abstract)
+    # Orbax can fill structurally-missing entries with None instead of
+    # raising (e.g. optimizer moments saved under a different trainability
+    # partition); surface that as an error callers can handle.
+    n_template = len(jax.tree_util.tree_leaves(template))
+    n_restored = len(jax.tree_util.tree_leaves(restored))
+    if n_restored != n_template:
+        raise ValueError(
+            f"checkpoint structure mismatch: {n_restored} leaves restored, "
+            f"template has {n_template}"
+        )
     state = template_state.replace(
         step=restored["step"],
         params=restored["params"],
@@ -60,8 +70,18 @@ def restore_checkpoint(
 def restore_params_only(path: str, template_state: TrainState) -> TrainState:
     """Load params + batch stats from a checkpoint, keeping fresh optimizer
     state - the reference's ``load_weights(by_name=True)`` semantics
-    (cont_train.py:155,164)."""
-    state, _ = restore_checkpoint(path, template_state)
+    (cont_train.py:155,164).
+
+    Restores structure-free (no optimizer template), so it works across
+    trainability-partition changes where the full restore cannot.
+    """
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.abspath(path))
+    for key in ("params", "batch_stats"):
+        t = jax.tree_util.tree_structure(getattr(template_state, key))
+        r = jax.tree_util.tree_structure(raw[key])
+        if t != r:
+            raise ValueError(f"{key} tree mismatch: saved {r} vs template {t}")
     return template_state.replace(
-        params=state.params, batch_stats=state.batch_stats
+        params=raw["params"], batch_stats=raw["batch_stats"]
     )

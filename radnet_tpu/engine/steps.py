@@ -58,6 +58,7 @@ def compute_losses(
     batch: dict[str, jnp.ndarray],
     rng: jax.Array,
     deterministic: bool,
+    anchors: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Forward pass + all four losses for one batch of tiles."""
     from radnet_tpu.data.pipeline import preprocess_on_device
@@ -71,6 +72,7 @@ def compute_losses(
     scales = tuple(config.anchor_box_scales)
     ratios = tuple(tuple(r) for r in config.anchor_box_ratios)
     sample_valid = batch["sample_valid"].astype(jnp.float32)
+    img_anchors, feat_anchors = anchors if anchors is not None else (None, None)
 
     rng_t, rng_p, rng_d = jax.random.split(rng, 3)
 
@@ -88,6 +90,7 @@ def compute_losses(
         rpn_max_overlap=config.rpn_max_overlap,
         max_regions=config.rpn_max_regions,
         std_scaling=config.std_scaling,
+        anchors_xyxy=img_anchors,
     )
     tgts = jax.vmap(tgt_fn)(
         batch["gt_boxes"],
@@ -128,6 +131,7 @@ def compute_losses(
         pre_nms_top_n=config.pre_nms_top_n,
         post_nms_top_n=config.post_nms_top_n,
         nms_thresh=config.rpn_nms_thresh,
+        anchors_xywh=feat_anchors,
     )
 
     pt_fn = functools.partial(
@@ -182,31 +186,52 @@ def compute_losses(
     return total, metrics
 
 
+def _device_anchors(config: Config):
+    """Anchor grids as device arrays, to be passed as jit *arguments*.
+
+    Inlining them as HLO constants both bloats the serialized module (the
+    axon remote-compile transport caps request size) and, for committed
+    arrays, forces a device fetch at lowering time.
+    """
+    from radnet_tpu.ops.anchors import feature_anchors_xywh, image_anchors_xyxy
+
+    f = config.feat_size
+    scales = tuple(config.anchor_box_scales)
+    ratios = tuple(tuple(r) for r in config.anchor_box_ratios)
+    img = jax.device_put(image_anchors_xyxy(f, f, scales, ratios, config.rpn_stride))
+    feat = jax.device_put(feature_anchors_xywh(f, f, scales, ratios, config.rpn_stride))
+    return img, feat
+
+
 def make_train_step(model: FasterRCNN, config: Config) -> Callable:
     """Build the jitted fused train step."""
+    anchors = _device_anchors(config)
 
     @jax.jit
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, batch, rng, anchors):
         def loss_fn(params):
             return compute_losses(
-                model, config, params, state.batch_stats, batch, rng, False
+                model, config, params, state.batch_stats, batch, rng, False,
+                anchors=anchors,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 
-    return train_step
+    return lambda state, batch, rng: train_step(state, batch, rng, anchors)
 
 
 def make_eval_step(model: FasterRCNN, config: Config) -> Callable:
     """Build the jitted eval step (losses only, no dropout, no update)."""
+    anchors = _device_anchors(config)
 
     @jax.jit
-    def eval_step(state: TrainState, batch, rng):
+    def eval_step(state: TrainState, batch, rng, anchors):
         _, metrics = compute_losses(
-            model, config, state.params, state.batch_stats, batch, rng, True
+            model, config, state.params, state.batch_stats, batch, rng, True,
+            anchors=anchors,
         )
         return metrics
 
-    return eval_step
+    return lambda state, batch, rng: eval_step(state, batch, rng, anchors)

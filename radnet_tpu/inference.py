@@ -57,12 +57,33 @@ class RADNet:
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.class_mapping = config.inv_class_mapping
         self.bbox_threshold = config.bbox_threshold  # RADNet.py:36
-        self._predict_tiles = jax.jit(self._predict_tiles_impl)
+        # Anchors + params enter the jitted program as arguments, never as
+        # inlined HLO constants (keeps the lowered module small for the
+        # remote-compile transport and avoids lowering-time device fetches).
+        from radnet_tpu.ops.anchors import feature_anchors_xywh
+
+        f = config.feat_size
+        self._feat_anchors = jax.device_put(
+            feature_anchors_xywh(
+                f, f,
+                tuple(config.anchor_box_scales),
+                tuple(tuple(r) for r in config.anchor_box_ratios),
+                config.rpn_stride,
+            )
+        )
+        self._predict_tiles_jit = jax.jit(self._predict_tiles_impl)
+
+    def _predict_tiles(self, images, valid_wh):
+        return self._predict_tiles_jit(
+            self.variables, images, valid_wh, self._feat_anchors
+        )
 
     # ------------------------------------------------------------------ #
     # Device-side cascade for one batch of tiles.
     # ------------------------------------------------------------------ #
-    def _predict_tiles_impl(self, images: jnp.ndarray, valid_wh: jnp.ndarray):
+    def _predict_tiles_impl(
+        self, variables, images: jnp.ndarray, valid_wh: jnp.ndarray, feat_anchors
+    ):
         """(T, S, S, 3) preprocessed tiles -> per-class detections.
 
         Returns (boxes (T, K, D, 4) in resized-image px, scores (T, K, D),

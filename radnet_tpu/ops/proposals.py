@@ -41,6 +41,7 @@ def decode_proposals(
     post_nms_top_n: int = 300,
     nms_thresh: float = 0.7,
     use_regr: bool = True,
+    anchors_xywh: jnp.ndarray | None = None,
 ) -> Proposals:
     """Proposals for one image.
 
@@ -54,7 +55,11 @@ def decode_proposals(
         never pads, rpn.py:147-150).
     """
     feat_h, feat_w, num_anchors = rpn_cls.shape
-    anchors = feature_anchors_xywh(feat_h, feat_w, scales, ratios, stride)
+    anchors = (
+        anchors_xywh
+        if anchors_xywh is not None
+        else feature_anchors_xywh(feat_h, feat_w, scales, ratios, stride)
+    )
 
     deltas = rpn_regr.astype(jnp.float32).reshape(feat_h, feat_w, num_anchors, 4)
     deltas = deltas / std_scaling

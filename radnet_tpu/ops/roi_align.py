@@ -144,8 +144,13 @@ def roi_pool_matmul(
 
 def batched_roi_pool(fmaps, rois_xywh, *, pool_size: int, method: str = "matmul"):
     """vmap over the tile batch: ``(B, H, W, C)`` + ``(B, R, 4)`` ->
-    ``(B, R, P, P, C)``.  ``method``: 'matmul' (MXU path, default) or
-    'gather' (4-point bilinear gathers)."""
+    ``(B, R, P, P, C)``.  ``method``: 'matmul' (MXU einsum path, default),
+    'gather' (4-point bilinear gathers) or 'pallas' (fused VMEM kernel,
+    radnet_tpu.ops.pallas_roi)."""
+    if method == "pallas":
+        from radnet_tpu.ops.pallas_roi import roi_pool_pallas
+
+        return roi_pool_pallas(fmaps, rois_xywh, pool_size=pool_size)
     fn = functools.partial(
         roi_pool_matmul if method == "matmul" else roi_pool, pool_size=pool_size
     )

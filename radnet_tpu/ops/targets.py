@@ -76,6 +76,7 @@ def rpn_targets(
     rpn_max_overlap: float = 0.7,
     max_regions: int = 256,
     std_scaling: float = 4.0,
+    anchors_xyxy: jnp.ndarray | None = None,
 ) -> RpnTargets:
     """Anchor classification/regression targets for one (padded) image.
 
@@ -88,9 +89,17 @@ def rpn_targets(
         reference excludes image-boundary crossers.
       rng: PRNG key for the pos/neg subsampling.
     """
-    anchors = image_anchors_xyxy(feat_h, feat_w, scales, ratios, stride)
+    # Prefer caller-supplied anchors (passed as a jit *argument* so they are
+    # never inlined into the lowered HLO - the remote-compile transport
+    # rejects oversized modules); fall back to building them here for eager
+    # and test use.
+    anchors = (
+        anchors_xyxy
+        if anchors_xyxy is not None
+        else image_anchors_xyxy(feat_h, feat_w, scales, ratios, stride)
+    )
     n_anchors_per_cell = anchors.shape[2]
-    anchors_flat = jnp.asarray(anchors.reshape(-1, 4))  # (N, 4), N = H*W*A
+    anchors_flat = jnp.asarray(anchors).reshape(-1, 4)  # (N, 4), N = H*W*A
     n = anchors_flat.shape[0]
 
     a_valid = anchor_validity_mask(anchors_flat, valid_width, valid_height)
