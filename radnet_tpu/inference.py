@@ -95,8 +95,8 @@ class RADNet:
         ratios = tuple(tuple(r) for r in cfg.anchor_box_ratios)
 
         images = preprocess_on_device(images)
-        fmap = self.model.apply(self.variables, images, method=FasterRCNN.features)
-        rpn_cls, rpn_regr = self.model.apply(self.variables, fmap, method=FasterRCNN.rpn)
+        fmap = self.model.apply(variables, images, method=FasterRCNN.features)
+        rpn_cls, rpn_regr = self.model.apply(variables, fmap, method=FasterRCNN.rpn)
 
         valid_fw = feature_extent(valid_wh[:, 0], cfg.network)
         valid_fh = feature_extent(valid_wh[:, 1], cfg.network)
@@ -112,6 +112,7 @@ class RADNet:
             pre_nms_top_n=cfg.pre_nms_top_n,
             post_nms_top_n=cfg.post_nms_top_n,
             nms_thresh=cfg.rpn_nms_thresh,  # RADNet.py:556-561
+            anchors_xywh=feat_anchors,
         )
 
         # xyxy -> xywh (RADNet.py:564-565); all proposals through the RoI
@@ -119,7 +120,7 @@ class RADNet:
         x1, y1, x2, y2 = (props.boxes[..., i] for i in range(4))
         rois = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
         det_cls, det_regr = self.model.apply(
-            self.variables, fmap, rois, method=FasterRCNN.roi_heads, deterministic=True
+            variables, fmap, rois, method=FasterRCNN.roi_heads, deterministic=True
         )
 
         # Per-RoI selection (RADNet.py:127-152): confidence cut, drop bg.
@@ -294,7 +295,9 @@ class RADNet:
         tiles = plan_tiles(img.shape[1], img.shape[0], cfg.tile_size, cfg.tile_overlap)
         for imgs, wh, scales, chunk, n in self._tile_batches(img, tiles):
             props = jax.device_get(
-                self._proposals_only(jnp.asarray(imgs), jnp.asarray(wh))
+                self._proposals_only(
+                    self.variables, jnp.asarray(imgs), jnp.asarray(wh), self._feat_anchors
+                )
             )
             for i in range(n):
                 tile = chunk[i]
@@ -317,14 +320,13 @@ class RADNet:
     @functools.cached_property
     def _proposals_only(self):
         cfg = self.C
+        model = self.model
 
         @jax.jit
-        def fn(images, valid_wh):
+        def fn(variables, images, valid_wh, feat_anchors):
             images = preprocess_on_device(images)
-            fmap = self.model.apply(self.variables, images, method=FasterRCNN.features)
-            rpn_cls, rpn_regr = self.model.apply(
-                self.variables, fmap, method=FasterRCNN.rpn
-            )
+            fmap = model.apply(variables, images, method=FasterRCNN.features)
+            rpn_cls, rpn_regr = model.apply(variables, fmap, method=FasterRCNN.rpn)
             return batched_decode_proposals(
                 rpn_cls,
                 rpn_regr,
@@ -337,6 +339,7 @@ class RADNet:
                 pre_nms_top_n=cfg.pre_nms_top_n,
                 post_nms_top_n=cfg.post_nms_top_n,
                 nms_thresh=cfg.rpn_nms_thresh,
+                anchors_xywh=feat_anchors,
             )
 
         return fn

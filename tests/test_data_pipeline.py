@@ -246,6 +246,33 @@ def test_get_data_and_generator_end_to_end(tmp_path, monkeypatch):
     assert 1 <= len(val_samples) <= 6
 
 
+def test_get_new_img_size_reference_semantics():
+    from radnet_tpu.data.pipeline import get_new_img_size
+
+    # shortest side -> img_min_side (utils.py:65-75)
+    assert get_new_img_size(800, 600, 600) == (800, 600)
+    assert get_new_img_size(600, 800, 600) == (600, 800)
+    assert get_new_img_size(2000, 1000, 600) == (1200, 600)
+    assert get_new_img_size(1000, 2000, 600) == (600, 1200)
+
+
+def test_image_sample_generator_full_image(tmp_path, monkeypatch):
+    from radnet_tpu.data.pipeline import image_sample_generator
+
+    cfg = tiny_config()
+    cfg.use_noise = False
+    _write_synthetic_dataset(tmp_path, cfg)
+    monkeypatch.chdir(tmp_path)
+    data, class_count, _ = get_data("annot.csv", "data", cfg.img_types)
+
+    gen = image_sample_generator(data, cfg, cfg.class_mapping, train_mode=False)
+    samples = list(gen)
+    assert len(samples) == 3  # one per image, then terminates (eval mode)
+    for s in samples:
+        assert s["image"].shape == (cfg.canvas_size, cfg.canvas_size, 3)
+        assert s["gt_mask"].any()
+
+
 def test_batched_pads_partial_batches():
     cfg = tiny_config()
     samples = [
