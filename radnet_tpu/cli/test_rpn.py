@@ -14,7 +14,6 @@ import os
 import sys
 
 import cv2
-import numpy as np
 
 from radnet_tpu.data.dataset import get_data, get_image
 from radnet_tpu.evaluation import box_iou

@@ -218,9 +218,16 @@ def tile_sample_generator(
             if len(tiles) == 0:
                 continue
 
-            img = image_loader(
-                img_data["filepath"], config.img_types, random_type=config.use_img_type
-            )
+            try:
+                img = image_loader(
+                    img_data["filepath"], config.img_types, random_type=config.use_img_type
+                )
+            except (FileNotFoundError, OSError) as e:
+                # Skip unreadable images and keep training, like the
+                # reference's catch-and-continue blocks (utils.py:276-289,
+                # 450-465).
+                print(f"skipping {img_data['filepath']}: {e}")
+                continue
 
             n_tiles = min(
                 len(tiles),

@@ -1,14 +1,10 @@
 """Data engine tests: tiling plan, augmentation invariants, generator flow."""
 
-import os
-
 import numpy as np
-import pytest
 
 from radnet_tpu.data import augment as aug
 from radnet_tpu.data.dataset import SampleSelector, get_data
 from radnet_tpu.data.pipeline import (
-    batch_samples,
     batched,
     make_sample,
     resize_to_canvas,
