@@ -9,6 +9,13 @@ actually learns: detections must land on the rectangles.
 
 Usage: python scripts/overfit_check.py [--steps 300] [--network vgg16]
 Prints a JSON summary; exits nonzero if recall stays at zero.
+
+Note: use vgg16 for this check.  ResNet50 + FrozenBatchNorm is not
+trainable from random initialization (frozen identity statistics do not
+normalize a random trunk - activation variance grows with depth); the
+reference has the same constraint and always loads ImageNet weights for
+ResNet50 (resnet50.py:213).  Load pretrained weights via
+radnet_tpu.models.weights for real ResNet50 training.
 """
 
 from __future__ import annotations
