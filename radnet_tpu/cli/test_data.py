@@ -32,12 +32,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n-samples", type=int, default=4)
     p.add_argument("--out-dir", default="test_data_viz")
     p.add_argument("--network", default=None)
+    p.add_argument("--config-json", default=None)
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    config = Config()
+    config = Config.load(args.config_json) if args.config_json else Config()
     if args.network:
         config.network = args.network
 

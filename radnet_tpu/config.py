@@ -128,6 +128,7 @@ class Config:
     infer_tile_batch: int = 8  # tiles per compiled inference call
     roi_chunk: int = 128  # RoIs per RoI-head chunk at inference
     compute_dtype: str = "bfloat16"  # backbone compute dtype on TPU
+    vgg_fc_dim: int = 4096  # VGG16 head width (vgg16.py:97-99); reduced in tests
     mesh_data_axis: int = 0  # set >0 to pin data-parallel mesh size
 
     # Output model path prefix (reference config.py:133).

@@ -219,8 +219,10 @@ def tile_sample_generator(
                 continue
 
             try:
+                # First read is always the primary type (utils.py:344); the
+                # per-tile re-read below applies the random type choice.
                 img = image_loader(
-                    img_data["filepath"], config.img_types, random_type=config.use_img_type
+                    img_data["filepath"], config.img_types, random_type=False
                 )
             except (FileNotFoundError, OSError) as e:
                 # Skip unreadable images and keep training, like the
@@ -240,6 +242,13 @@ def tile_sample_generator(
                 tile = tiles[remaining[pick]]
                 remaining = np.delete(remaining, pick)
 
+                if config.use_img_type:
+                    # The reference re-reads the image per tile so each tile
+                    # can come from a randomly chosen image type
+                    # (utils.py:390).
+                    img = image_loader(
+                        img_data["filepath"], config.img_types, random_type=True, rng=rng
+                    )
                 tile_img = np.copy(img[tile[1] : tile[3], tile[0] : tile[2], :])
                 boxes_arr = np.array(
                     [[b["x1"], b["y1"], b["x2"], b["y2"]] for b in img_data["bboxes"]]

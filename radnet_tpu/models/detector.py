@@ -34,12 +34,16 @@ class FasterRCNN(nn.Module):
     n_classes: int
     num_anchors: int
     dtype: Any = jnp.bfloat16
+    vgg_fc_dim: int = 4096
 
     def setup(self):
         if self.network == "vgg16":
             self.trunk = vgg.VGG16Trunk(dtype=self.dtype, name="trunk")
             self.head = vgg.VGG16RoIHead(
-                n_classes=self.n_classes, dtype=self.dtype, name="head"
+                n_classes=self.n_classes,
+                dtype=self.dtype,
+                fc_dim=self.vgg_fc_dim,
+                name="head",
             )
             self._pool_size = vgg.POOL_SIZE
         elif self.network == "resnet50":
@@ -107,4 +111,5 @@ def build_model(config: Config) -> FasterRCNN:
         n_classes=config.n_classes,
         num_anchors=config.n_anchors,
         dtype=jnp.dtype(config.compute_dtype),
+        vgg_fc_dim=config.vgg_fc_dim,
     )

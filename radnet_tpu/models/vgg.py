@@ -56,14 +56,15 @@ class VGG16RoIHead(nn.Module):
     n_classes: int
     dtype: Any = jnp.float32
     dropout_rate: float = 0.5  # vgg16.py:98,100
+    fc_dim: int = 4096  # vgg16.py:97-99
 
     @nn.compact
     def __call__(self, rois: jnp.ndarray, *, deterministic: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
         x = rois.reshape(rois.shape[0], -1).astype(self.dtype)  # TD Flatten
-        x = nn.Dense(4096, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        x = nn.Dense(4096, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        x = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
 

@@ -126,3 +126,33 @@ def test_train_cont_and_predict(workspace, monkeypatch):
     with open(os.path.join(model_dir, "test_accuracy.json")) as f:
         acc = json.load(f)
     assert "mAP" in acc
+
+    # Data-pipeline sanity checker (reference test_data.py workflow).
+    from radnet_tpu.cli.test_data import main as test_data_main
+
+    rc = test_data_main(
+        [
+            "--config-json", "tiny_config.json",
+            "--train-annot", "train.csv",
+            "--train-data", "data/train",
+            "--n-samples", "2",
+            "--out-dir", "viz_check",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists("viz_check/test_data_0.png")
+
+    # RPN-recall debugger (reference test_rpn.py workflow).
+    from radnet_tpu.cli.test_rpn import main as test_rpn_main
+
+    rc = test_rpn_main(
+        [
+            "--models-path", "models",
+            "--model-name", "faster_rcnn_vgg16_smoke",
+            "--annot", "train.csv",
+            "--data", "data/train",
+            "--limit", "1",
+        ]
+    )
+    assert rc == 0
+    assert os.listdir(os.path.join(model_dir, "test_rpn"))

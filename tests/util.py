@@ -22,6 +22,7 @@ def tiny_config(network: str = "vgg16") -> Config:
         anchor_box_scales=[16, 32],
         anchor_box_ratios=[[1.0, 1.0], [1.0, 2.0], [2.0, 1.0]],
         compute_dtype="float32",
+        vgg_fc_dim=256,
         tile_size=64,
         tile_overlap=32,
         class_mapping={"boat": 0, "human": 1, "bg": 2},
