@@ -51,29 +51,52 @@ class RADNet:
         model: FasterRCNN,
         params: Any,
         batch_stats: Any,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh``; when given, tile
+        batches shard over the mesh's ``data`` axis (multi-chip serving -
+        params replicated, each chip processes its slice of the tiles,
+        XLA handles the rest).  ``infer_tile_batch`` must be divisible by
+        the data-axis size."""
         self.C = config
         self.model = model
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.class_mapping = config.inv_class_mapping
         self.bbox_threshold = config.bbox_threshold  # RADNet.py:36
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from radnet_tpu.parallel.mesh import batch_sharding, replicated
+
+            rep = replicated(mesh)
+            self.variables = jax.device_put(
+                self.variables, jax.tree_util.tree_map(lambda _: rep, self.variables)
+            )
+            self._batch_sharding = batch_sharding(mesh)
         # Anchors + params enter the jitted program as arguments, never as
         # inlined HLO constants (keeps the lowered module small for the
         # remote-compile transport and avoids lowering-time device fetches).
         from radnet_tpu.ops.anchors import feature_anchors_xywh
 
         f = config.feat_size
-        self._feat_anchors = jax.device_put(
-            feature_anchors_xywh(
-                f, f,
-                tuple(config.anchor_box_scales),
-                tuple(tuple(r) for r in config.anchor_box_ratios),
-                config.rpn_stride,
-            )
+        anchors_np = feature_anchors_xywh(
+            f, f,
+            tuple(config.anchor_box_scales),
+            tuple(tuple(r) for r in config.anchor_box_ratios),
+            config.rpn_stride,
         )
+        if mesh is not None:
+            from radnet_tpu.parallel.mesh import replicated
+
+            self._feat_anchors = jax.device_put(anchors_np, replicated(mesh))
+        else:
+            self._feat_anchors = jax.device_put(anchors_np)
         self._predict_tiles_jit = jax.jit(self._predict_tiles_impl)
 
     def _predict_tiles(self, images, valid_wh):
+        if self._batch_sharding is not None:
+            images = jax.device_put(images, self._batch_sharding)
+            valid_wh = jax.device_put(valid_wh, self._batch_sharding)
         return self._predict_tiles_jit(
             self.variables, images, valid_wh, self._feat_anchors
         )

@@ -32,6 +32,34 @@ def test_param_shardings_tp_rules():
     assert sh["trunk"]["block1_conv1"]["kernel"].spec == jax.sharding.PartitionSpec()
 
 
+def test_sharded_inference_matches_single_device():
+    """Tile batch sharded over the data axis: same detections as 1 device."""
+    from radnet_tpu.inference import RADNet
+
+    cfg = tiny_config("vgg16")
+    cfg.infer_tile_batch = 4
+    cfg.bbox_threshold = 0.0
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (4, cfg.canvas_size, cfg.canvas_size, 3), dtype=np.uint8
+    )
+    wh = np.full((4, 2), float(cfg.img_size), np.float32)
+
+    single = RADNet(cfg, model, state.params, state.batch_stats)
+    b1, s1, v1 = jax.device_get(single._predict_tiles(jnp.asarray(imgs), jnp.asarray(wh)))
+
+    mesh = make_mesh(4, model_parallel=1)
+    with mesh:
+        sharded = RADNet(cfg, model, state.params, state.batch_stats, mesh=mesh)
+        b2, s2, v2 = jax.device_get(sharded._predict_tiles(imgs, wh))
+
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
 def test_sharded_train_step_matches_single_device():
     cfg = tiny_config("vgg16")
     model = build_model(cfg)
