@@ -86,21 +86,31 @@ def create_train_state(
     if base_net_trainable is None:
         base_net_trainable = config.base_net_trainable
     s = config.canvas_size
-    dummy_img = jnp.zeros((1, s, s, 3), jnp.float32)
-    dummy_rois = jnp.asarray([[[0.0, 0.0, 4.0, 4.0]]])
-    variables = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        dummy_img,
-        dummy_rois,
-        deterministic=True,
-    )
+
+    # One jitted program for the whole init: eager init would dispatch
+    # hundreds of tiny ops (every conv kernel, every Adam moment), each of
+    # which is a separate compile+execute round-trip on a remote-compiled
+    # backend like the axon tunnel - minutes of latency for no work.
+    @jax.jit
+    def init_variables(rng):
+        dummy_img = jnp.zeros((1, s, s, 3), jnp.float32)
+        dummy_rois = jnp.asarray([[[0.0, 0.0, 4.0, 4.0]]])
+        return model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            dummy_img,
+            dummy_rois,
+            deterministic=True,
+        )
+
+    variables = init_variables(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(params, config, learning_rate, base_net_trainable)
+    opt_state = jax.jit(tx.init)(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         tx=tx,
     )
