@@ -7,6 +7,24 @@ import random
 
 import numpy as np
 
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Persist compiled executables across runs.
+
+    First compiles are expensive (minutes on remote-compiled backends);
+    every CLI driver enables the cache so repeated train/eval/predict
+    invocations skip them."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path or os.environ.get("RADNET_COMPILE_CACHE", os.path.expanduser("~/.radnet_jax_cache")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 # Local word pool replacing the reference's HTTP-fetched dictionary
 # (train.py:60-70 downloads a word list from svnweb.freebsd.org at train time -
 # a network failure point designed out here, per SURVEY.md §5.3).

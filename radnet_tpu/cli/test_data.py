@@ -37,6 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from radnet_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = build_argparser().parse_args(argv)
     config = Config.load(args.config_json) if args.config_json else Config()
     if args.network:

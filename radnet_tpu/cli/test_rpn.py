@@ -32,6 +32,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from radnet_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = build_argparser().parse_args(argv)
     model_path = os.path.join(args.models_path, args.model_name)
     out_dir = os.path.join(model_path, "test_rpn")

@@ -58,6 +58,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from radnet_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = build_argparser().parse_args(argv)
 
     np.random.seed(args.seed)
