@@ -118,7 +118,7 @@ class Config:
     batch_size: int = 8  # tiles per train step (reference: 1 image/step)
     max_gt_boxes: int = 64  # GT boxes per tile, padded
     rpn_max_regions: int = 256  # pos+neg anchor budget (utils.py:785)
-    pre_nms_top_n: int = 1024  # proposals entering NMS, score top-k
+    pre_nms_top_n: int = 2048  # proposals entering NMS, score top-k
     post_nms_top_n: int = 300  # proposals out of NMS (rpn.py:68 max_boxes)
     rpn_nms_thresh: float = 0.7  # proposal NMS IoU (RADNet.py:556-561)
     detection_nms_thresh: float = 0.2  # per-class per-tile NMS (RADNet.py:574)
@@ -126,10 +126,8 @@ class Config:
     bbox_threshold: float = 0.7  # detector score cut (RADNet.py:36)
     max_detections_per_tile: int = 64  # per-class post-NMS budget per tile
     infer_tile_batch: int = 8  # tiles per compiled inference call
-    roi_chunk: int = 128  # RoIs per RoI-head chunk at inference
     compute_dtype: str = "bfloat16"  # backbone compute dtype on TPU
     vgg_fc_dim: int = 4096  # VGG16 head width (vgg16.py:97-99); reduced in tests
-    mesh_data_axis: int = 0  # set >0 to pin data-parallel mesh size
 
     # Output model path prefix (reference config.py:133).
     model_path: str = ""

@@ -1,0 +1,34 @@
+"""CLI helpers: predict.py scan-layout resolution, name generator."""
+
+from pathlib import Path
+
+import pytest
+
+from radnet_tpu.cli.common import silly_name_gen
+from radnet_tpu.cli.predict import resolve_type_path
+
+
+def test_resolve_type_path_variants():
+    """Mirror of the reference's layout switch (predict.py:59-81)."""
+    root = "/scan"
+    cases = {
+        "enhanced_topo_grey": "img/enhanced_topo_maps/enhanced_topo_map_object_level_grey.png",
+        "enhanced_topo": "img/enhanced_topo_maps/enhanced_topo_map_object_level.png",
+        "blended_map_grey": "img/blended_maps/blended_map_object_level_grey.png",
+        "blended_map": "img/blended_maps/blended_topo_map_object_level.png",
+        "topo_grey": "img/topo_maps/topo_map_object_level_grey.png",
+        "topo": "img/topo_maps/topo_map_object_level.png",
+    }
+    for img_type, rel in cases.items():
+        assert resolve_type_path(root, img_type) == Path(root) / rel, img_type
+
+    with pytest.raises(ValueError):
+        resolve_type_path(root, "unknown_kind")
+
+
+def test_silly_name_gen_local_and_deterministic():
+    import random
+
+    a = silly_name_gen(random.Random(7))
+    b = silly_name_gen(random.Random(7))
+    assert a == b and "_" in a
