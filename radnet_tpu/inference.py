@@ -102,6 +102,56 @@ class RADNet:
         )
 
     # ------------------------------------------------------------------ #
+    # Device-side tiling: the panel ships to HBM once; each call slices a
+    # batch of tile windows, resizes them, and runs the cascade without any
+    # host-side cropping/resizing or per-tile transfers.  Interior windows
+    # of the reference tiling are always exactly tile_size^2
+    # (utils.py:352-368 edge-snaps rather than shrinks), so the program is
+    # fixed-shape; panels smaller than a tile fall back to the host path.
+    # ------------------------------------------------------------------ #
+    @functools.cached_property
+    def _predict_panel_tiles_jit(self):
+        cfg = self.C
+        ts = cfg.tile_size
+        s = cfg.canvas_size
+        out = cfg.img_size
+
+        def impl(variables, panel, origins, feat_anchors):
+            def one(origin):
+                tile = jax.lax.dynamic_slice(
+                    panel, (origin[1], origin[0], 0), (ts, ts, 3)
+                )
+                resized = jax.image.resize(
+                    tile.astype(jnp.float32), (out, out, 3), method="cubic"
+                )
+                canvas = jnp.zeros((s, s, 3), jnp.float32)
+                return jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0))
+
+            from radnet_tpu.data.pipeline import IMAGENET_BGR_MEAN
+
+            images = jax.vmap(one)(origins)
+            images = images - jnp.asarray(IMAGENET_BGR_MEAN, jnp.float32)
+            valid_wh = jnp.full((origins.shape[0], 2), float(out), jnp.float32)
+            # skip the uint8 branch of _predict_tiles_impl: images are
+            # already preprocessed float32
+            return self._predict_tiles_impl(variables, images, valid_wh, feat_anchors)
+
+        return jax.jit(impl)
+
+    def _panel_bucket_pad(self, img: np.ndarray) -> np.ndarray:
+        """Pad panel dims up to a bucket multiple so distinct panels reuse
+        the compiled program (windows never touch the padding)."""
+        bucket = 512
+        h, w = img.shape[:2]
+        hb = -(-h // bucket) * bucket
+        wb = -(-w // bucket) * bucket
+        if (hb, wb) == (h, w):
+            return img
+        padded = np.zeros((hb, wb, 3), img.dtype)
+        padded[:h, :w] = img
+        return padded
+
+    # ------------------------------------------------------------------ #
     # Device-side cascade for one batch of tiles.
     # ------------------------------------------------------------------ #
     def _predict_tiles_impl(
@@ -272,9 +322,28 @@ class RADNet:
         # transfers and compute of batch k+1 overlap with batch k (the
         # reference blocks on the device ~16x per tile, RADNet.py:543-604).
         pending = []
-        for imgs, wh, scales, chunk, n in self._tile_batches(img, tiles):
-            out = self._predict_tiles(jnp.asarray(imgs), jnp.asarray(wh))
-            pending.append((out, scales, chunk, n))
+        device_tiling = (
+            self._batch_sharding is None
+            and img.shape[0] >= cfg.tile_size
+            and img.shape[1] >= cfg.tile_size
+        )
+        if device_tiling:
+            # Ship the panel once; slice + resize + cascade on device.
+            panel_dev = jax.device_put(self._panel_bucket_pad(img))
+            bs = cfg.infer_tile_batch
+            ratio = float(cfg.img_size) / cfg.tile_size
+            for start in range(0, len(tiles), bs):
+                chunk = tiles[start : start + bs]
+                origins = np.zeros((bs, 2), np.int32)
+                origins[: len(chunk)] = chunk[:, :2]
+                out = self._predict_panel_tiles_jit(
+                    self.variables, panel_dev, jnp.asarray(origins), self._feat_anchors
+                )
+                pending.append((out, np.full(bs, ratio), chunk, len(chunk)))
+        else:
+            for imgs, wh, scales, chunk, n in self._tile_batches(img, tiles):
+                out = self._predict_tiles(jnp.asarray(imgs), jnp.asarray(wh))
+                pending.append((out, scales, chunk, n))
         # Phase 2: drain results in order.
         for out, scales, chunk, n in pending:
             boxes, scores, valid = jax.device_get(out)

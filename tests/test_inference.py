@@ -57,6 +57,28 @@ def test_predict_multi_image_type_merge(radnet):
     assert isinstance(dets, list)
 
 
+def test_device_tiling_path(radnet):
+    """Panels >= tile_size use on-device slicing/resize; contract holds."""
+    cfg = radnet.C
+    assert cfg.tile_size == 64
+    panel = np.random.default_rng(5).integers(0, 255, (130, 140, 3), dtype=np.uint8)
+    dets = radnet.predict([panel])
+    assert isinstance(dets, list)
+    for d in dets:
+        assert 0 <= d["x1"] < d["x2"] <= 140 + cfg.tile_size
+        assert 0 <= d["y1"] < d["y2"] <= 130 + cfg.tile_size
+
+
+def test_panel_bucket_pad(radnet):
+    img = np.ones((600, 700, 3), np.uint8)
+    padded = radnet._panel_bucket_pad(img)
+    assert padded.shape == (1024, 1024, 3)
+    assert (padded[:600, :700] == 1).all()
+    assert (padded[600:, :, :] == 0).all()
+    same = radnet._panel_bucket_pad(np.ones((512, 512, 3), np.uint8))
+    assert same.shape == (512, 512, 3)
+
+
 def test_predict_region_proposals(radnet):
     panel = np.random.default_rng(3).integers(0, 255, (100, 100, 3), dtype=np.uint8)
     props = radnet.predict_region_proposals(panel)
