@@ -117,13 +117,15 @@ class RADNet:
         out = cfg.img_size
 
         def impl(variables, panel, origins, feat_anchors):
+            from radnet_tpu.ops.resize import resize_bicubic
+
             def one(origin):
                 tile = jax.lax.dynamic_slice(
                     panel, (origin[1], origin[0], 0), (ts, ts, 3)
                 )
-                resized = jax.image.resize(
-                    tile.astype(jnp.float32), (out, out, 3), method="cubic"
-                )
+                # MXU-matmul bicubic (cv2.INTER_CUBIC family) instead of
+                # gather-based jax.image.resize - see ops/resize.py.
+                resized = resize_bicubic(tile, out, out)
                 canvas = jnp.zeros((s, s, 3), jnp.float32)
                 return jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0))
 
