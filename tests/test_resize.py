@@ -31,7 +31,7 @@ def test_matches_cv2_inter_cubic():
     diff = np.abs(got - want)
     assert np.median(diff) < 0.5
     assert diff.mean() < 1.0
-    assert np.percentile(diff, 99) < 4.0
+    assert np.percentile(diff, 95) < 2.0
 
 
 def test_smooth_image_near_exact():
