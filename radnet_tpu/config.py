@@ -118,6 +118,11 @@ class Config:
     batch_size: int = 8  # tiles per train step (reference: 1 image/step)
     max_gt_boxes: int = 64  # GT boxes per tile, padded
     rpn_max_regions: int = 256  # pos+neg anchor budget (utils.py:785)
+    # True replicates the reference's 1:1 negative rebalance
+    # (utils.py:802-813); False (default) uses the classic fill-to-budget
+    # negatives, which avoids an RPN objectness-collapse spiral when
+    # positives are scarce - see ops/targets.py.
+    rpn_reference_neg_budget: bool = False
     pre_nms_top_n: int = 2048  # proposals entering NMS, score top-k
     post_nms_top_n: int = 300  # proposals out of NMS (rpn.py:68 max_boxes)
     rpn_nms_thresh: float = 0.7  # proposal NMS IoU (RADNet.py:556-561)

@@ -91,6 +91,7 @@ def compute_losses(
         max_regions=config.rpn_max_regions,
         std_scaling=config.std_scaling,
         anchors_xyxy=img_anchors,
+        reference_neg_budget=config.rpn_reference_neg_budget,
     )
     tgts = jax.vmap(tgt_fn)(
         batch["gt_boxes"],

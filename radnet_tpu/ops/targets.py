@@ -77,6 +77,7 @@ def rpn_targets(
     max_regions: int = 256,
     std_scaling: float = 4.0,
     anchors_xyxy: jnp.ndarray | None = None,
+    reference_neg_budget: bool = False,
 ) -> RpnTargets:
     """Anchor classification/regression targets for one (padded) image.
 
@@ -163,9 +164,19 @@ def rpn_targets(
     keep_pos = pos_mask & (pos_rank < half)
     n_pos_kept = jnp.minimum(n_pos, half)
 
-    # Reference quirk preserved: over budget => keep exactly n_pos negatives
-    # (1:1 rebalance), otherwise keep all (utils.py:802-813).
-    neg_budget = jnp.where(n_pos_kept + n_neg > max_regions, n_pos_kept, n_neg)
+    # Negative budget. The reference keeps exactly n_pos negatives when over
+    # budget (``np.random.choice(n_neg, n_neg - n_pos)`` disables the rest,
+    # utils.py:802-813). That 1:1 rebalance starves the RPN of negative
+    # supervision whenever positives are scarce (a handful of anchors out of
+    # ~17k see gradient), which we observed to trigger an
+    # objectness-inflation death spiral in long training runs.  The default
+    # here is therefore the classic Faster R-CNN budget - fill negatives up
+    # to ``max_regions - n_pos`` - with ``reference_neg_budget=True``
+    # replicating the reference exactly.
+    if reference_neg_budget:
+        neg_budget = jnp.where(n_pos_kept + n_neg > max_regions, n_pos_kept, n_neg)
+    else:
+        neg_budget = jnp.minimum(n_neg, max_regions - n_pos_kept)
     neg_rank = _rank_among(neg_mask, rng_neg)
     keep_neg = neg_mask & (neg_rank < neg_budget)
 

@@ -92,7 +92,7 @@ def loop_rpn_targets(gt, width, height):
     return valid, overlap, regr
 
 
-def _run_jax(gt, width, height, max_regions=10_000):
+def _run_jax(gt, width, height, max_regions=10_000, reference_neg_budget=True):
     g = np.zeros((8, 4), np.float32)
     mask = np.zeros(8, bool)
     g[: len(gt)] = gt
@@ -110,6 +110,7 @@ def _run_jax(gt, width, height, max_regions=10_000):
         stride=STRIDE,
         max_regions=max_regions,  # large => no subsampling
         std_scaling=4.0,
+        reference_neg_budget=reference_neg_budget,
     )
 
 
@@ -137,7 +138,7 @@ def test_rpn_targets_match_loop_reference():
         )
 
 
-def test_rpn_targets_subsampling_budget():
+def test_rpn_targets_subsampling_budget_reference_mode():
     # Dense small GT everywhere => many positives; cap must hold.
     gt = np.array(
         [[x, y, x + 64, y + 64] for x in (10, 80) for y in (10, 80)],
@@ -154,6 +155,21 @@ def test_rpn_targets_subsampling_budget():
     # over budget => negatives rebalanced to n_pos (utils.py:802-813)
     assert n_neg == n_pos
     assert int(out.n_pos) == n_pos
+
+
+def test_rpn_targets_classic_neg_budget():
+    # default mode fills negatives up to max_regions - n_pos
+    gt = np.array([[10.0, 10.0, 74.0, 74.0]], np.float32)
+    out = _run_jax(
+        gt, FH * STRIDE, FW * STRIDE, max_regions=32, reference_neg_budget=False
+    )
+    cls = np.asarray(out.y_rpn_cls)
+    A = len(SCALES) * len(RATIOS)
+    valid = cls[..., :A]
+    overlap = cls[..., A:]
+    n_pos = int((valid * overlap).sum())
+    n_neg = int((valid * (1 - overlap)).sum())
+    assert n_pos + n_neg == 32  # budget filled (plenty of negatives exist)
 
 
 def test_rpn_targets_padding_masks_anchors():
