@@ -123,6 +123,9 @@ class Config:
     # negatives, which avoids an RPN objectness-collapse spiral when
     # positives are scarce - see ops/targets.py.
     rpn_reference_neg_budget: bool = False
+    # IoU floor for the best-anchor-per-GT fallback (reference: 0.0, i.e.
+    # any nonzero overlap forces a positive - utils.py:741-766).
+    rpn_fallback_min_iou: float = 0.0
     pre_nms_top_n: int = 2048  # proposals entering NMS, score top-k
     post_nms_top_n: int = 300  # proposals out of NMS (rpn.py:68 max_boxes)
     rpn_nms_thresh: float = 0.7  # proposal NMS IoU (RADNet.py:556-561)

@@ -92,6 +92,7 @@ def compute_losses(
         std_scaling=config.std_scaling,
         anchors_xyxy=img_anchors,
         reference_neg_budget=config.rpn_reference_neg_budget,
+        fallback_min_iou=config.rpn_fallback_min_iou,
     )
     tgts = jax.vmap(tgt_fn)(
         batch["gt_boxes"],

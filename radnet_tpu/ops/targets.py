@@ -78,6 +78,7 @@ def rpn_targets(
     std_scaling: float = 4.0,
     anchors_xyxy: jnp.ndarray | None = None,
     reference_neg_budget: bool = False,
+    fallback_min_iou: float = 0.0,
 ) -> RpnTargets:
     """Anchor classification/regression targets for one (padded) image.
 
@@ -131,7 +132,11 @@ def rpn_targets(
     gt_has_pos = jnp.any(iou_masked > rpn_max_overlap, axis=0)  # (G,)
     gt_best_anchor = jnp.argmax(iou_masked, axis=0)  # (G,)
     gt_best_iou = jnp.max(iou_masked, axis=0)  # (G,)
-    need_fallback = gt_mask & ~gt_has_pos & (gt_best_iou > 0.0)
+    # The reference forces a positive for any nonzero IoU (utils.py:745);
+    # ``fallback_min_iou`` adds an optional floor - forcing positives onto
+    # near-zero-IoU anchors teaches mismatched anchor channels to fire on
+    # everything (saturation spiral observed with badly-scaled anchors).
+    need_fallback = gt_mask & ~gt_has_pos & (gt_best_iou > fallback_min_iou)
 
     regr_fallback = encode_boxes(
         anchors_flat[gt_best_anchor], gt_boxes
