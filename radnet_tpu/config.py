@@ -134,6 +134,9 @@ class Config:
     bbox_threshold: float = 0.7  # detector score cut (RADNet.py:36)
     max_detections_per_tile: int = 64  # per-class post-NMS budget per tile
     infer_tile_batch: int = 8  # tiles per compiled inference call
+    # Slice+resize tiles on device from a panel shipped to HBM once
+    # (False: host-side cv2 tiling with async per-batch shipping).
+    infer_device_tiling: bool = True
     compute_dtype: str = "bfloat16"  # backbone compute dtype on TPU
     vgg_fc_dim: int = 4096  # VGG16 head width (vgg16.py:97-99); reduced in tests
 

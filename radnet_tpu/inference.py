@@ -325,7 +325,8 @@ class RADNet:
         # reference blocks on the device ~16x per tile, RADNet.py:543-604).
         pending = []
         device_tiling = (
-            self._batch_sharding is None
+            cfg.infer_device_tiling
+            and self._batch_sharding is None
             and img.shape[0] >= cfg.tile_size
             and img.shape[1] >= cfg.tile_size
         )
