@@ -15,9 +15,13 @@ but fused into a single Pallas kernel:
 * interpolation matrices are built in-kernel from ``broadcasted_iota``
   (``relu(1 - |center - index|)`` is exactly the bilinear weight profile).
 
-The XLA einsum path remains the default; this kernel is selected with
-``batched_roi_pool(..., method='pallas')`` and is validated against the
-reference implementations in interpret mode on CPU.
+The XLA einsum path remains the default - measured on a v5e, XLA fuses the
+einsum formulation into the surrounding program at ~0.1 ms for 8x300 RoIs,
+while this standalone kernel costs ~21 ms (240 small grid programs with no
+cross-op fusion).  The kernel is kept as the explicit-Pallas implementation
+(selected with ``batched_roi_pool(..., method='pallas')``), validated
+against the reference implementations in interpret mode on CPU and
+compiled/verified on TPU hardware.
 """
 
 from __future__ import annotations
@@ -33,7 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(
     fmap_ref, rois_ref, out_ref, *, pool_size: int, h: int, w: int, roi_block: int
 ):
-    f = fmap_ref[0]  # (H, W, CB)
+    # Compute in f32: the bf16 path trips Mosaic's reshape/tiling rules at
+    # odd sublane extents (e.g. H=38), and the whole op is sub-0.1ms anyway.
+    f = fmap_ref[0].astype(jnp.float32)  # (H, W, CB)
     br = roi_block
     # The RoI table rides along whole (TPU block shapes must tile the last
     # two dims); each program slices out its block dynamically.
@@ -92,8 +98,8 @@ def roi_pool_pallas(
     rois_xywh: jnp.ndarray,
     *,
     pool_size: int,
-    roi_block: int = 20,
-    channel_block: int = 256,
+    roi_block: int = 10,
+    channel_block: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched RoI pooling: ``(B, H, W, C)`` + ``(B, R, 4)`` ->
@@ -101,6 +107,11 @@ def roi_pool_pallas(
     and C to a multiple of ``channel_block`` (both are config-controlled
     static shapes in this framework)."""
     b, h, w, c = fmaps.shape
+    out_dtype = fmaps.dtype
+    if fmaps.dtype == jnp.bfloat16:
+        # Mosaic rejects bf16 VMEM blocks whose sublane extent is not a
+        # multiple of 16 (feature maps here are 38); feed the kernel f32.
+        fmaps = fmaps.astype(jnp.float32)
     r = rois_xywh.shape[1]
     cb = min(channel_block, c)
     br = min(roi_block, r)
@@ -109,7 +120,7 @@ def roi_pool_pallas(
     p = pool_size
 
     grid = (b, r // br, c // cb)
-    return pl.pallas_call(
+    result = pl.pallas_call(
         functools.partial(_kernel, pool_size=p, h=h, w=w, roi_block=br),
         grid=grid,
         in_specs=[
@@ -126,6 +137,7 @@ def roi_pool_pallas(
             (1, br, p, p, cb), lambda bi, ri, ci: (bi, ri, 0, 0, ci),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, r, p, p, c), fmaps.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, r, p, p, c), jnp.float32),
         interpret=interpret,
     )(fmaps, rois_xywh)
+    return result.astype(out_dtype)
