@@ -269,6 +269,31 @@ def test_image_sample_generator_full_image(tmp_path, monkeypatch):
         assert s["gt_mask"].any()
 
 
+def test_tile_generator_include_full_img(tmp_path, monkeypatch):
+    """include_full_img adds a whole-panel sample per image
+    (utils.py:484-548)."""
+    cfg = tiny_config()
+    cfg.tile_size = 100
+    cfg.tile_overlap = 50
+    cfg.use_noise = False
+    cfg.include_full_img = True
+    cfg.balanced_classes = False
+    _write_synthetic_dataset(tmp_path, cfg)
+    monkeypatch.chdir(tmp_path)
+    data, class_count, _ = get_data("annot.csv", "data", cfg.img_types)
+
+    with_full = list(
+        tile_sample_generator(data, cfg, class_count, cfg.class_mapping,
+                              train_mode=False, seed=1)
+    )
+    cfg.include_full_img = False
+    without = list(
+        tile_sample_generator(data, cfg, class_count, cfg.class_mapping,
+                              train_mode=False, seed=1)
+    )
+    assert len(with_full) == len(without) + len(data)
+
+
 def test_batched_pads_partial_batches():
     cfg = tiny_config()
     samples = [

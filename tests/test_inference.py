@@ -69,6 +69,20 @@ def test_device_tiling_path(radnet):
         assert 0 <= d["y1"] < d["y2"] <= 130 + cfg.tile_size
 
 
+def test_predict_include_full_img_path():
+    """include_full_img adds a whole-panel pass to the cascade
+    (RADNet.py:606-665)."""
+    cfg = tiny_config("vgg16")
+    cfg.bbox_threshold = 0.0
+    cfg.include_full_img = True
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    r = RADNet(cfg, model, state.params, state.batch_stats)
+    panel = np.random.default_rng(7).integers(0, 255, (90, 110, 3), dtype=np.uint8)
+    dets = r.predict([panel])
+    assert isinstance(dets, list)
+
+
 def test_panel_bucket_pad(radnet):
     img = np.ones((600, 700, 3), np.uint8)
     padded = radnet._panel_bucket_pad(img)
