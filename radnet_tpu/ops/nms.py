@@ -141,10 +141,16 @@ def nms_fixed_point(
     kept, _, _ = jax.lax.while_loop(cond, body, (kept0, jnp.asarray(True), 0))
 
     kept_scores = jnp.where(kept, s, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(kept_scores, max_out)
+    k = min(max_out, n)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, k)
     out_valid = top_scores > NEG_INF
     out_boxes = jnp.where(out_valid[:, None], boxes[top_idx], 0.0)
     out_scores = jnp.where(out_valid, top_scores, 0.0)
+    if k < max_out:  # fewer candidates than output slots: pad
+        pad = max_out - k
+        out_boxes = jnp.concatenate([out_boxes, jnp.zeros((pad, 4), jnp.float32)])
+        out_scores = jnp.concatenate([out_scores, jnp.zeros((pad,), jnp.float32)])
+        out_valid = jnp.concatenate([out_valid, jnp.zeros((pad,), bool)])
     if cast_int:
         out_boxes = jnp.floor(out_boxes)
     return out_boxes, out_scores, out_valid
