@@ -33,7 +33,54 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default="test_data_viz")
     p.add_argument("--network", default=None)
     p.add_argument("--config-json", default=None)
+    p.add_argument(
+        "--analyze-anchors",
+        action="store_true",
+        help="report object-size statistics vs the configured anchors",
+    )
     return p
+
+
+def analyze_anchors(data, config) -> dict:
+    """Object-size statistics vs the configured anchor grid.
+
+    The working resolution of a box is its size after the tile resize
+    (``img_size / tile_size``).  Badly matched anchors degrade training:
+    with no anchor near a GT's scale, every positive comes from the
+    low-IoU best-anchor fallback, which teaches mismatched anchor channels
+    to fire on everything (see ops/targets.py).  The reference shipped a
+    commented-out KMeans version of this analysis (test_data.py:54-184).
+    """
+    import numpy as np
+
+    scale = config.img_size / float(config.tile_size)
+    sizes, ratios = [], []
+    for img in data:
+        for b in img["bboxes"]:
+            w = (b["x2"] - b["x1"]) * scale
+            h = (b["y2"] - b["y1"]) * scale
+            if w > 0 and h > 0:
+                sizes.append(float(np.sqrt(w * h)))
+                ratios.append(float(w / h))
+    sizes = np.asarray(sizes)
+    ratios = np.asarray(ratios)
+    q = lambda a, p: float(np.percentile(a, p)) if a.size else float("nan")
+    report = {
+        "n_boxes": int(sizes.size),
+        "size_px_resized": {p: round(q(sizes, p), 1) for p in (5, 25, 50, 75, 95)},
+        "aspect_w_over_h": {p: round(q(ratios, p), 2) for p in (5, 50, 95)},
+        "configured_scales": list(config.anchor_box_scales),
+        "suggested_scales": [
+            int(round(q(sizes, p))) for p in (10, 35, 65, 90)
+        ]
+        if sizes.size
+        else [],
+    }
+    lo, hi = min(config.anchor_box_scales), max(config.anchor_box_scales)
+    if sizes.size:
+        outside = float(((sizes < lo / 2) | (sizes > hi * 2)).mean())
+        report["frac_boxes_far_outside_anchor_range"] = round(outside, 3)
+    return report
 
 
 def main(argv=None) -> int:
@@ -48,6 +95,12 @@ def main(argv=None) -> int:
     data, class_count, class_mapping = get_data(
         args.train_annot, args.train_data, config.img_types
     )
+
+    if args.analyze_anchors:
+        import json
+
+        print(json.dumps(analyze_anchors(data, config), indent=2))
+        return 0
     gen = tile_sample_generator(
         data, config, class_count, config.class_mapping, train_mode=True, seed=args.seed
     )
