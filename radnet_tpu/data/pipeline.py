@@ -397,6 +397,7 @@ def prefetch_to_device(
     sharded layout when ``sharding`` is given)."""
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
+    error: list[BaseException] = []
 
     def producer():
         try:
@@ -406,6 +407,8 @@ def prefetch_to_device(
                 else:
                     batch = jax.device_put(batch)
                 q.put(batch)
+        except BaseException as e:  # re-raised on the consumer side
+            error.append(e)
         finally:
             q.put(sentinel)
 
@@ -414,5 +417,7 @@ def prefetch_to_device(
     while True:
         item = q.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             return
         yield item
