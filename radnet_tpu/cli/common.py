@@ -16,10 +16,14 @@ def enable_compile_cache(path: str | None = None) -> None:
     invocations skip them."""
     import jax
 
+    repo_cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            path or os.environ.get("RADNET_COMPILE_CACHE", os.path.expanduser("~/.radnet_jax_cache")),
+            path or os.environ.get("RADNET_COMPILE_CACHE", repo_cache),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
