@@ -324,23 +324,48 @@ class RADNet:
         # transfers and compute of batch k+1 overlap with batch k (the
         # reference blocks on the device ~16x per tile, RADNet.py:543-604).
         pending = []
+        ts = cfg.tile_size
+        # The fixed-shape device program slices exactly tile_size^2 windows,
+        # so it only applies when EVERY window has that extent (plan_tiles
+        # windows always do - they edge-snap rather than shrink).  The
+        # include_full_img pseudo-tile [0,0,W,H] is arbitrary-shaped and must
+        # go through the host path, which resizes the whole window
+        # (the reference's full-image pass resizes the entire panel,
+        # RADNet.py:606-665).
+        uniform_windows = bool(
+            len(tiles) > 0
+            and (tiles[:, 2] - tiles[:, 0] == ts).all()
+            and (tiles[:, 3] - tiles[:, 1] == ts).all()
+        )
         device_tiling = (
             cfg.infer_device_tiling
-            and self._batch_sharding is None
-            and img.shape[0] >= cfg.tile_size
-            and img.shape[1] >= cfg.tile_size
+            and uniform_windows
+            and img.shape[0] >= ts
+            and img.shape[1] >= ts
         )
         if device_tiling:
-            # Ship the panel once; slice + resize + cascade on device.
-            panel_dev = jax.device_put(self._panel_bucket_pad(img))
+            # Ship the panel once; slice + resize + cascade on device.  On a
+            # mesh the panel is replicated and the origin batch shards over
+            # the data axis, so each chip runs its slice of the tile batch.
+            if self._batch_sharding is not None:
+                from radnet_tpu.parallel.mesh import replicated
+
+                panel_dev = jax.device_put(
+                    self._panel_bucket_pad(img), replicated(self.mesh)
+                )
+            else:
+                panel_dev = jax.device_put(self._panel_bucket_pad(img))
             bs = cfg.infer_tile_batch
-            ratio = float(cfg.img_size) / cfg.tile_size
+            ratio = float(cfg.img_size) / ts
             for start in range(0, len(tiles), bs):
                 chunk = tiles[start : start + bs]
                 origins = np.zeros((bs, 2), np.int32)
                 origins[: len(chunk)] = chunk[:, :2]
+                origins_dev = jnp.asarray(origins)
+                if self._batch_sharding is not None:
+                    origins_dev = jax.device_put(origins_dev, self._batch_sharding)
                 out = self._predict_panel_tiles_jit(
-                    self.variables, panel_dev, jnp.asarray(origins), self._feat_anchors
+                    self.variables, panel_dev, origins_dev, self._feat_anchors
                 )
                 pending.append((out, np.full(bs, ratio), chunk, len(chunk)))
         else:

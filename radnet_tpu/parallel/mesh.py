@@ -46,7 +46,13 @@ def make_mesh(
     platform, which honours ``--xla_force_host_platform_device_count``.
     """
     if devices is None:
-        devices = jax.devices()
+        try:
+            devices = jax.devices()
+        except RuntimeError:
+            # Default platform failed to initialize (e.g. a libtpu
+            # client/terminal mismatch on the tunneled backend); the
+            # virtual CPU platform still works.
+            devices = jax.devices("cpu")
         if n_devices and len(devices) < n_devices:
             devices = jax.devices("cpu")
     n = n_devices or len(devices)

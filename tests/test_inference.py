@@ -83,6 +83,86 @@ def test_predict_include_full_img_path():
     assert isinstance(dets, list)
 
 
+def _sorted_dets(dets):
+    return sorted(
+        (d["class"], d["x1"], d["y1"], d["x2"], d["y2"], round(d["prob"], 6))
+        for d in dets
+    )
+
+
+def test_full_img_pass_ignores_device_tiling():
+    """Regression: the full-image pseudo-tile [0,0,W,H] must NOT take the
+    fixed-shape device-tiling path (which slices only a tile_size^2 window
+    at the origin and lifts with the wrong ratio).  The reference resizes
+    the WHOLE panel for this pass (RADNet.py:606-665).
+
+    Isolate the full-image pass (max_n_tiles_train=0) on a panel larger
+    than tile_size whose only content sits OUTSIDE the top-left
+    tile_size^2 region, and assert the device-tiling-enabled run is
+    bit-identical to the host-path run (both must route the pseudo-tile
+    through the whole-panel resize)."""
+    import dataclasses
+
+    base = tiny_config("vgg16")
+    base.bbox_threshold = 0.0
+    base.include_full_img = True
+    base.max_n_tiles_train = 0  # full-image pass only
+    model = build_model(base)
+    state = create_train_state(model, base, jax.random.PRNGKey(0))
+
+    # 90x150 panel, all content outside the top-left 64x64 region.
+    panel = np.zeros((90, 150, 3), dtype=np.uint8)
+    panel[70:, 100:] = np.random.default_rng(11).integers(
+        0, 255, (20, 50, 3), dtype=np.uint8
+    )
+
+    dets_by_mode = {}
+    for device_tiling in (True, False):
+        cfg = dataclasses.replace(base, infer_device_tiling=device_tiling)
+        r = RADNet(cfg, model, state.params, state.batch_stats)
+        dets_by_mode[device_tiling] = r.predict([panel])
+
+    assert _sorted_dets(dets_by_mode[True]) == _sorted_dets(dets_by_mode[False])
+
+
+def test_device_vs_host_tiling_equivalence():
+    """The on-device slice+MXU-bicubic tile path and the host cv2 tile path
+    must produce matching detection sets on the same panel with the same
+    weights (catches any ratio/slice regression in the device program)."""
+    import dataclasses
+
+    base = tiny_config("vgg16")
+    base.bbox_threshold = 0.0
+    model = build_model(base)
+    state = create_train_state(model, base, jax.random.PRNGKey(0))
+    panel = np.random.default_rng(5).integers(0, 255, (130, 140, 3), dtype=np.uint8)
+
+    dets = {}
+    for device_tiling in (True, False):
+        cfg = dataclasses.replace(base, infer_device_tiling=device_tiling)
+        r = RADNet(cfg, model, state.params, state.batch_stats)
+        dets[device_tiling] = r.predict([panel])
+
+    dev, host = dets[True], dets[False]
+    assert len(dev) == len(host)
+    # Greedy one-to-one matching: same class, boxes within a small pixel
+    # tolerance (the two bicubic implementations round differently), probs
+    # close.
+    unmatched = list(host)
+    for d in dev:
+        best = None
+        for h in unmatched:
+            if h["class"] != d["class"]:
+                continue
+            if all(
+                abs(d[k] - h[k]) <= 3 for k in ("x1", "y1", "x2", "y2")
+            ) and abs(d["prob"] - h["prob"]) <= 0.05:
+                best = h
+                break
+        assert best is not None, f"no host match for device det {d}"
+        unmatched.remove(best)
+
+
 def test_panel_bucket_pad(radnet):
     img = np.ones((600, 700, 3), np.uint8)
     padded = radnet._panel_bucket_pad(img)
