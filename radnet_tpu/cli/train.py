@@ -54,7 +54,54 @@ def build_argparser() -> argparse.ArgumentParser:
         default=None,
         help="path to a Config JSON overriding the defaults entirely",
     )
+    p.add_argument(
+        "--weights",
+        default=None,
+        help="path to a Keras-format .h5 with pretrained backbone weights "
+        "(searched in addition to the conventional locations)",
+    )
+    p.add_argument(
+        "--allow-random-init",
+        action="store_true",
+        help="proceed from random init even when base_net_weights is set "
+        "but no weight file is found (resnet50 + FrozenBatchNorm is NOT "
+        "trainable from random init - see models/weights.py)",
+    )
     return p
+
+
+def apply_pretrained_weights(config, state, weights=None, allow_random_init=False):
+    """Load pretrained backbone weights into the train state.
+
+    The reference loads ImageNet weights at model build time
+    (resnet50.py:213, vgg16.py:36-40); here the loader runs right after
+    state creation.  When ``base_net_weights`` is configured but no file
+    is found, resnet50 training FAILS by default: with FrozenBatchNorm the
+    random-init batch statistics are identity garbage and the model cannot
+    train (pass --allow-random-init to override; vgg16 only warns).
+    """
+    from radnet_tpu.models.weights import maybe_load_pretrained
+
+    search = (weights,) if weights else ()
+    params, stats, src = maybe_load_pretrained(
+        config, state.params, state.batch_stats, search_paths=search
+    )
+    if src is not None:
+        print(f"Loaded pretrained base-net weights from {src}")
+        return state.replace(params=params, batch_stats=stats)
+    if config.base_net_weights is not None:
+        msg = (
+            f"base_net_weights={config.base_net_weights!r} is set but no "
+            f"weight file was found (looked at --weights and the "
+            f"conventional locations; see models/weights.py)."
+        )
+        if config.network == "resnet50" and not allow_random_init:
+            raise SystemExit(
+                msg + " resnet50 with FrozenBatchNorm is NOT trainable from "
+                "random init; provide --weights or pass --allow-random-init."
+            )
+        print("WARNING: " + msg + " Training from random init.")
+    return state
 
 
 def main(argv=None) -> int:
@@ -97,6 +144,10 @@ def main(argv=None) -> int:
     state = create_train_state(
         model, config, rng, learning_rate=args.lr,
         base_net_trainable=config.base_net_trainable,
+    )
+    state = apply_pretrained_weights(
+        config, state, weights=args.weights,
+        allow_random_init=args.allow_random_init,
     )
     train_step = make_train_step(model, config)
     eval_step = make_eval_step(model, config) if use_val else None

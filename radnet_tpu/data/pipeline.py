@@ -358,22 +358,34 @@ def parallel_sample_generator(
     q: queue.Queue = queue.Queue(maxsize=queue_size)
     stop = threading.Event()
 
+    class _WorkerError:
+        """Sentinel carrying a worker exception to the consumer."""
+
+        def __init__(self, exc: BaseException):
+            self.exc = exc
+
     def worker(wid: int) -> None:
-        gen = tile_sample_generator(
-            data,
-            config,
-            class_count,
-            class_mapping,
-            train_mode=True,
-            seed=seed + 1000 * wid,
-            image_loader=image_loader,
-        )
-        while not stop.is_set():
-            try:
-                sample = next(gen)
-            except StopIteration:  # pragma: no cover - train mode is infinite
-                return
-            q.put(sample)
+        try:
+            gen = tile_sample_generator(
+                data,
+                config,
+                class_count,
+                class_mapping,
+                train_mode=True,
+                seed=seed + 1000 * wid,
+                image_loader=image_loader,
+            )
+            while not stop.is_set():
+                try:
+                    sample = next(gen)
+                except StopIteration:  # pragma: no cover - train mode is infinite
+                    return
+                q.put(sample)
+        except BaseException as e:
+            # Propagate instead of dying silently: with all workers dead the
+            # consumer would block on q.get() forever and training would
+            # hang with no error (mirrors prefetch_to_device's pattern).
+            q.put(_WorkerError(e))
 
     threads = [
         threading.Thread(target=worker, args=(w,), daemon=True)
@@ -383,7 +395,10 @@ def parallel_sample_generator(
         t.start()
     try:
         while True:
-            yield q.get()
+            item = q.get()
+            if isinstance(item, _WorkerError):
+                raise item.exc
+            yield item
     finally:
         stop.set()
 

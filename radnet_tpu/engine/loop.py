@@ -120,21 +120,22 @@ def fit(
             )
         metrics_log.flush()
 
+        # The best-checkpoint watermark compares UNROUNDED means (rounding
+        # to 3 decimals would quantize away improvements smaller than
+        # ~0.002); record.csv keeps the reference's 3-decimal display.
+        loss_keys = (
+            "loss_rpn_cls",
+            "loss_rpn_regr",
+            "loss_detector_cls",
+            "loss_detector_regr",
+        )
+        curr_total_loss = sum(_mean(epoch_metrics, k) for k in loss_keys)
         row: dict[str, Any] = {
             "elapsed_time": round((time.time() - start_time) / 60, 3),
             "mean_overlapping_bboxes": round(_mean(epoch_metrics, "mean_overlapping_bboxes"), 3),
-            "loss_rpn_cls": round(_mean(epoch_metrics, "loss_rpn_cls"), 3),
-            "loss_rpn_regr": round(_mean(epoch_metrics, "loss_rpn_regr"), 3),
-            "loss_detector_cls": round(_mean(epoch_metrics, "loss_detector_cls"), 3),
-            "loss_detector_regr": round(_mean(epoch_metrics, "loss_detector_regr"), 3),
+            **{k: round(_mean(epoch_metrics, k), 3) for k in loss_keys},
             "detector_acc": round(_mean(epoch_metrics, "detector_acc"), 3),
         }
-        curr_total_loss = (
-            row["loss_rpn_cls"]
-            + row["loss_rpn_regr"]
-            + row["loss_detector_cls"]
-            + row["loss_detector_regr"]
-        )
         row["total_loss"] = round(curr_total_loss, 3)
 
         if verbose:
@@ -153,18 +154,11 @@ def fit(
                 rng, step_rng = jax.random.split(rng)
                 val_metrics.append(eval_step(state, batch, step_rng))
             val_metrics = jax.device_get(val_metrics)
+            val_total = sum(_mean(val_metrics, k) for k in loss_keys)
             row["val_mean_overlapping_bboxes"] = round(_mean(val_metrics, "mean_overlapping_bboxes"), 3)
-            row["val_loss_rpn_cls"] = round(_mean(val_metrics, "loss_rpn_cls"), 3)
-            row["val_loss_rpn_regr"] = round(_mean(val_metrics, "loss_rpn_regr"), 3)
-            row["val_loss_detector_cls"] = round(_mean(val_metrics, "loss_detector_cls"), 3)
-            row["val_loss_detector_regr"] = round(_mean(val_metrics, "loss_detector_regr"), 3)
+            for k in loss_keys:
+                row[f"val_{k}"] = round(_mean(val_metrics, k), 3)
             row["val_detector_acc"] = round(_mean(val_metrics, "detector_acc"), 3)
-            val_total = (
-                row["val_loss_rpn_cls"]
-                + row["val_loss_rpn_regr"]
-                + row["val_loss_detector_cls"]
-                + row["val_loss_detector_regr"]
-            )
             row["val_total_loss"] = round(val_total, 3)
             watch = val_total
             if verbose:

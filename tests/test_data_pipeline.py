@@ -310,3 +310,29 @@ def test_batched_pads_partial_batches():
     assert len(batches) == 2
     assert batches[0]["image"].shape == (2, 64, 64, 3)
     assert batches[1]["sample_valid"].tolist() == [True, False]
+
+
+def test_parallel_generator_propagates_worker_errors(tmp_path, monkeypatch):
+    """A worker crashing on a bad sample must surface in the consumer, not
+    leave training blocked forever on an empty queue."""
+    import pytest
+
+    from radnet_tpu.data.pipeline import parallel_sample_generator
+
+    cfg = tiny_config()
+    cfg.tile_size = 100
+    cfg.tile_overlap = 50
+    cfg.use_noise = False
+    _write_synthetic_dataset(tmp_path, cfg)
+    monkeypatch.chdir(tmp_path)
+    data, class_count, _ = get_data("annot.csv", "data", cfg.img_types)
+
+    def bad_loader(*args, **kwargs):
+        raise ValueError("corrupt sample")
+
+    gen = parallel_sample_generator(
+        data, cfg, class_count, cfg.class_mapping,
+        num_workers=2, image_loader=bad_loader,
+    )
+    with pytest.raises(ValueError, match="corrupt sample"):
+        next(gen)

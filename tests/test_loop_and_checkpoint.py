@@ -93,3 +93,37 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     # restored state continues training
     state2, metrics = step(restored, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_best_ckpt_watermark_uses_unrounded_losses(tmp_path, setup):
+    """A 1e-3-scale improvement must still trigger a best checkpoint: the
+    watermark compares unrounded epoch means (rounding to the record.csv
+    3-decimal display quantizes sub-0.002 improvements away)."""
+    cfg, model, state, _, _ = setup
+    losses = iter([1.2345, 1.2341])  # both round to 1.234
+
+    def fake_step(state, batch, rng):
+        val = next(losses)
+        metrics = {
+            "loss_rpn_cls": np.float32(val),
+            "loss_rpn_regr": np.float32(0.0),
+            "loss_detector_cls": np.float32(0.0),
+            "loss_detector_regr": np.float32(0.0),
+            "detector_acc": np.float32(0.0),
+            "mean_overlapping_bboxes": np.float32(0.0),
+        }
+        return state, metrics
+
+    _, record = fit(
+        cfg,
+        state,
+        fake_step,
+        _batch_iter(cfg, n=2),
+        str(tmp_path / "m"),
+        epoch_length=1,
+        n_epochs=2,
+        verbose=False,
+    )
+    # Epoch 2 improved by 4e-4 over epoch 1; the watermark must register it.
+    imp = float(record["model_improvement"].iloc[1])
+    assert np.isfinite(imp) and imp < 0
