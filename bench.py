@@ -44,21 +44,90 @@ def build_radnet(device=None):
 
 
 def time_tile_batches(radnet, config, device, n_batches: int, batch_np, wh_np):
-    """Seconds per tile for the jitted tile-batch program on ``device``."""
+    """Seconds per tile for the jitted tile-batch program on ``device``.
+
+    The tunneled executor memoizes identical (executable, args) calls, so
+    each iteration perturbs the batch to force real execution.
+    """
     import jax
     import jax.numpy as jnp
 
     images = jax.device_put(jnp.asarray(batch_np), device)
     wh = jax.device_put(jnp.asarray(wh_np), device)
+    perturbed = [images + jnp.float32(i) for i in range(n_batches)]
     # compile
     out = radnet._predict_tiles(images, wh)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(n_batches):
-        out = radnet._predict_tiles(images, wh)
+    for i in range(n_batches):
+        out = radnet._predict_tiles(perturbed[i], wh)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return dt / (n_batches * images.shape[0])
+
+
+def cascade_mfu(radnet, device_tile_sec: float, batch: int, peak_flops: float = 197e12):
+    """Achieved MFU of the tile cascade from XLA's own cost model."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = radnet.C
+    images = jnp.zeros((batch, cfg.canvas_size, cfg.canvas_size, 3), jnp.float32)
+    wh = jnp.full((batch, 2), float(cfg.img_size), jnp.float32)
+    try:
+        comp = radnet._predict_tiles_jit.lower(
+            radnet.variables, images, wh, radnet._feat_anchors
+        ).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+    batch_sec = device_tile_sec * batch
+    return flops / batch_sec / peak_flops
+
+
+def time_train_step(config_overrides=None, n_steps: int = 60):
+    """Steps/s of the fused train step (device-resident batches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from radnet_tpu.config import Config
+    from radnet_tpu.engine.steps import make_train_step
+    from radnet_tpu.engine.train_state import create_train_state
+    from radnet_tpu.models.detector import build_model
+
+    config = Config(network="vgg16", compute_dtype="bfloat16")
+    for k, v in (config_overrides or {}).items():
+        setattr(config, k, v)
+    model = build_model(config)
+    state = create_train_state(model, config, jax.random.PRNGKey(0))
+    train_step = make_train_step(model, config)
+
+    rng = np.random.default_rng(0)
+    b, s, g = config.batch_size, config.canvas_size, config.max_gt_boxes
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (b, s, s, 3)).astype(np.float32)),
+        "gt_boxes": jnp.asarray(
+            np.tile(np.array([[[20.0, 20.0, 200.0, 200.0]] + [[0.0] * 4] * (g - 1)],
+                             np.float32), (b, 1, 1))
+        ),
+        "gt_classes": jnp.zeros((b, g), jnp.int32),
+        "gt_mask": jnp.asarray(np.tile(np.array([[True] + [False] * (g - 1)]), (b, 1))),
+        "valid_wh": jnp.full((b, 2), float(config.img_size), jnp.float32),
+        "sample_valid": jnp.ones((b,), bool),
+    }
+    key = jax.random.PRNGKey(1)
+    state, _ = train_step(state, batch, key)  # compile
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / n_steps
+    return 1.0 / dt, b / dt
 
 
 def _enable_compile_cache():
@@ -122,6 +191,12 @@ def main() -> int:
     elif cpu_dev is not None:
         vs_baseline = 1.0
 
+    mfu = cascade_mfu(radnet, dev_tile_s, bs)
+    try:
+        train_steps_s, train_imgs_s = time_train_step()
+    except Exception:
+        train_steps_s, train_imgs_s = float("nan"), float("nan")
+
     print(
         json.dumps(
             {
@@ -135,6 +210,13 @@ def main() -> int:
                     "sec_per_panel": round(panel_sec, 3),
                     "tiles_per_sec": round(n_tiles / panel_sec, 2),
                     "device_sec_per_tile": round(dev_tile_s, 4),
+                    "mfu": round(mfu, 3) if np.isfinite(mfu) else None,
+                    "train_steps_per_sec": round(train_steps_s, 2)
+                    if np.isfinite(train_steps_s)
+                    else None,
+                    "train_images_per_sec": round(train_imgs_s, 1)
+                    if np.isfinite(train_imgs_s)
+                    else None,
                     "compile_and_first_run_sec": round(compile_and_first, 1),
                     "device": str(default_dev),
                 },

@@ -46,15 +46,28 @@ class FasterRCNN(nn.Module):
                 name="head",
             )
             self._pool_size = vgg.POOL_SIZE
+            self._pool_center_stride = 1
         elif self.network == "resnet50":
             self.trunk = resnet.ResNet50Trunk(dtype=self.dtype, name="trunk")
+            # Pool directly at 7x7 on the even sample centers of the
+            # reference's 14x14 grid (resnet50.py:249) - bit-identical to
+            # 14x14 pooling followed by s5a's stride-2 1x1 convs, at a
+            # quarter of the pooled-tensor memory traffic.
             self.head = resnet.ResNet50RoIHead(
-                n_classes=self.n_classes, dtype=self.dtype, name="head"
+                n_classes=self.n_classes,
+                dtype=self.dtype,
+                pre_strided=True,
+                name="head",
             )
-            self._pool_size = resnet.POOL_SIZE
+            self._pool_size = resnet.POOL_SIZE // 2
+            self._pool_center_stride = 2
         else:
             raise ValueError(f"unknown network {self.network!r}")
-        self.rpn_head = RPNHead(num_anchors=self.num_anchors, name="rpn")
+        # bf16 for the 3x3/512 conv (the FLOPs); the 1x1 output heads stay
+        # f32 inside RPNHead for stable sigmoid/regression outputs.
+        self.rpn_head = RPNHead(
+            num_anchors=self.num_anchors, dtype=self.dtype, name="rpn"
+        )
 
     @property
     def pool_size(self) -> int:
@@ -84,7 +97,12 @@ class FasterRCNN(nn.Module):
           (class probs (B, R, n_classes), box deltas (B, R, 4*(n_classes-1)))
         """
         b, r = rois_xywh.shape[:2]
-        pooled = batched_roi_pool(fmap, rois_xywh, pool_size=self._pool_size)
+        pooled = batched_roi_pool(
+            fmap,
+            rois_xywh,
+            pool_size=self._pool_size,
+            center_stride=self._pool_center_stride,
+        )
         pooled = pooled.reshape((b * r,) + pooled.shape[2:])
         cls, regr = self.head(pooled, deterministic=deterministic)
         return cls.reshape(b, r, -1), regr.reshape(b, r, -1)

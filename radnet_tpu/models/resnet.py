@@ -95,17 +95,28 @@ class ResNet50Trunk(nn.Module):
 
 class ResNet50RoIHead(nn.Module):
     """Stage-5 head over pooled RoIs: ``(N, 14, 14, 1024)`` ->
-    (class probs ``(N, n_classes)``, box deltas ``(N, 4*(n_classes-1))``)."""
+    (class probs ``(N, n_classes)``, box deltas ``(N, 4*(n_classes-1))``).
+
+    ``pre_strided``: the s5a entry convs are both 1x1 STRIDE-2, so they
+    only ever read the even positions of the 14x14 crop.  When the RoI
+    pool samples exactly those positions directly (7x7 pool with
+    ``center_stride=2`` - see ops/roi_align.py), the head input is
+    ``(N, 7, 7, 1024)`` and s5a runs at stride 1: bit-identical outputs
+    (pinned by tests/test_roi_align.py) with a 4x smaller pooled tensor.
+    Parameters are unaffected (1x1 kernels have no stride-dependent
+    shape), so weight ports work for either mode."""
 
     n_classes: int
     dtype: Any = jnp.float32
+    pre_strided: bool = False
 
     @nn.compact
     def __call__(self, rois: jnp.ndarray, *, deterministic: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
         del deterministic  # no dropout in the ResNet head (resnet50.py:231-280)
         x = rois.astype(self.dtype)
         # stage 5 (resnet50.py:257-259): conv block stride 2 -> 7x7
-        x = Bottleneck((512, 512, 2048), stride=2, project=True, dtype=self.dtype, name="s5a")(x)
+        s5a_stride = 1 if self.pre_strided else 2
+        x = Bottleneck((512, 512, 2048), stride=s5a_stride, project=True, dtype=self.dtype, name="s5a")(x)
         x = Bottleneck((512, 512, 2048), dtype=self.dtype, name="s5b")(x)
         x = Bottleneck((512, 512, 2048), dtype=self.dtype, name="s5c")(x)
         x = nn.avg_pool(x, (7, 7), strides=(7, 7))  # TD AveragePooling2D((7,7))

@@ -91,7 +91,7 @@ def nms_fixed(
     return out_boxes, out_scores, out_valid
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "cast_int"))
+@functools.partial(jax.jit, static_argnames=("iou_thresh", "max_out", "cast_int"))
 def nms_fixed_point(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -120,12 +120,29 @@ def nms_fixed_point(
     # Strict score dominance; index as tiebreak for exact-equal scores so
     # the relation stays a strict partial order (argsort-stable like the
     # reference's ascending argsort + last-first scan, rpn.py:415-424).
-    idx = jnp.arange(n)
-    higher = (s[None, :] > s[:, None]) | (
-        (s[None, :] == s[:, None]) & (idx[None, :] > idx[:, None])
-    )
-    overlap = iou_matrix(boxes, boxes) > iou_thresh
-    dominates = higher & overlap  # [i, j]: j can suppress i
+    # On TPU the relation is computed by a fused Pallas kernel (int8 out,
+    # no (N, N) f32 temporaries - ops/pallas_nms.py); the XLA expression
+    # is the fallback for other platforms and the numerical reference
+    # (equivalence pinned by tests/test_nms.py).
+    def _dominates_xla(boxes, s):
+        idx = jnp.arange(n)
+        higher = (s[None, :] > s[:, None]) | (
+            (s[None, :] == s[:, None]) & (idx[None, :] > idx[:, None])
+        )
+        overlap = iou_matrix(boxes, boxes) > iou_thresh
+        return higher & overlap  # [i, j]: j can suppress i
+
+    if n % 128 == 0:
+        from radnet_tpu.ops.pallas_nms import dominates_matrix
+
+        dominates = jax.lax.platform_dependent(
+            boxes,
+            s,
+            tpu=lambda b, sc: dominates_matrix(b[None], sc[None], iou_thresh)[0],
+            default=_dominates_xla,
+        )
+    else:
+        dominates = _dominates_xla(boxes, s)
 
     def cond(carry):
         kept, changed, rounds = carry

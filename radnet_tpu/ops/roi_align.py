@@ -85,13 +85,23 @@ def roi_pool(
     return (top * (1.0 - wy1b) + bot * wy1b).astype(fmap.dtype)
 
 
-def _sample_centers(rois: jnp.ndarray, pool_size: int, extent: int):
+def _sample_centers(rois: jnp.ndarray, pool_size: int, extent: int, center_stride: int = 1):
     """Clamped half-pixel sample centers along one axis: ``(R, P)``.
 
     ``rois`` here is ``(R, 2)`` = (origin, size) for the axis.
+
+    ``center_stride=k`` produces the centers of positions ``0, k, 2k, ...``
+    of a virtual ``pool_size * k`` grid.  Pooling ``P`` outputs at stride 2
+    is bit-identical to pooling ``2P`` and then taking every other position
+    - which is exactly what a stride-2 1x1 conv consuming the pool would
+    do, so the strided pool lets that conv run at stride 1 on a 4x smaller
+    tensor (see models/resnet.py::ResNet50RoIHead).
     """
     o, s = rois[:, 0], jnp.maximum(rois[:, 1], 1.0)
-    grid = (jnp.arange(pool_size, dtype=jnp.float32) + 0.5) / pool_size
+    virtual = pool_size * center_stride
+    grid = (
+        jnp.arange(pool_size, dtype=jnp.float32) * center_stride + 0.5
+    ) / virtual
     c = o[:, None] + jnp.clip(grid[None, :] * s[:, None] - 0.5, 0.0, None)
     c = jnp.minimum(c, (o + s - 1.0)[:, None])
     return jnp.clip(c, 0.0, extent - 1.0)
@@ -113,6 +123,7 @@ def roi_pool_matmul(
     rois_xywh: jnp.ndarray,
     *,
     pool_size: int,
+    center_stride: int = 1,
 ) -> jnp.ndarray:
     """RoI pooling as two dense contractions instead of gathers.
 
@@ -125,8 +136,8 @@ def roi_pool_matmul(
     """
     h_map, w_map, _ = fmap.shape
     rois = rois_xywh.astype(jnp.float32)
-    sy = _sample_centers(rois[:, 1::2], pool_size, h_map)  # (R, P) rows
-    sx = _sample_centers(rois[:, 0::2], pool_size, w_map)  # (R, P) cols
+    sy = _sample_centers(rois[:, 1::2], pool_size, h_map, center_stride)  # (R, P) rows
+    sx = _sample_centers(rois[:, 0::2], pool_size, w_map, center_stride)  # (R, P) cols
     ry = _interp_matrix(sy, h_map)  # (R, P, H)
     rx = _interp_matrix(sx, w_map)  # (R, P, W)
 
@@ -142,7 +153,9 @@ def roi_pool_matmul(
     return out.astype(fmap.dtype)
 
 
-def batched_roi_pool(fmaps, rois_xywh, *, pool_size: int, method: str = "matmul"):
+def batched_roi_pool(
+    fmaps, rois_xywh, *, pool_size: int, method: str = "matmul", center_stride: int = 1
+):
     """vmap over the tile batch: ``(B, H, W, C)`` + ``(B, R, 4)`` ->
     ``(B, R, P, P, C)``.  ``method``: 'matmul' (MXU einsum path, default),
     'gather' (4-point bilinear gathers) or 'pallas' (fused VMEM kernel,
@@ -150,8 +163,12 @@ def batched_roi_pool(fmaps, rois_xywh, *, pool_size: int, method: str = "matmul"
     if method == "pallas":
         from radnet_tpu.ops.pallas_roi import roi_pool_pallas
 
+        if center_stride != 1:
+            raise NotImplementedError("pallas path has no center_stride")
         return roi_pool_pallas(fmaps, rois_xywh, pool_size=pool_size)
     fn = functools.partial(
-        roi_pool_matmul if method == "matmul" else roi_pool, pool_size=pool_size
+        roi_pool_matmul if method == "matmul" else roi_pool,
+        pool_size=pool_size,
+        **({"center_stride": center_stride} if method == "matmul" else {}),
     )
     return jax.vmap(fn)(fmaps, rois_xywh)

@@ -68,3 +68,62 @@ def test_dtype_preserved():
     rois = jnp.array([[0.0, 0.0, 4.0, 4.0]])
     out = roi_pool(fmap, rois, pool_size=7)
     assert out.dtype == jnp.bfloat16
+
+
+def test_strided_pool_matches_pool_then_stride():
+    """7x7 pooling at center_stride=2 samples exactly the even positions of
+    the 14x14 grid - the only positions stage-5's stride-2 1x1 convs read."""
+    import jax.numpy as jnp
+
+    from radnet_tpu.ops.roi_align import roi_pool_matmul
+
+    rng = np.random.default_rng(0)
+    fmap = jnp.asarray(rng.normal(0, 1, (12, 12, 8)).astype(np.float32))
+    rois = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(0, 6, 10),
+                rng.uniform(0, 6, 10),
+                rng.uniform(1, 6, 10),
+                rng.uniform(1, 6, 10),
+            ],
+            -1,
+        ).astype(np.float32)
+    )
+    full = np.asarray(roi_pool_matmul(fmap, rois, pool_size=14))
+    strided = np.asarray(roi_pool_matmul(fmap, rois, pool_size=7, center_stride=2))
+    np.testing.assert_allclose(strided, full[:, ::2, ::2, :], atol=1e-6)
+
+
+def test_pre_strided_resnet_head_equivalence():
+    """pre_strided head on the strided 7x7 pool == reference-form head
+    (14x14 pool + stride-2 s5a) with the SAME parameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from radnet_tpu.models.resnet import ResNet50RoIHead
+    from radnet_tpu.ops.roi_align import roi_pool_matmul
+
+    rng = np.random.default_rng(1)
+    fmap = jnp.asarray(rng.normal(0, 1, (12, 12, 16)).astype(np.float32))
+    rois = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(0, 6, 4),
+                rng.uniform(0, 6, 4),
+                rng.uniform(1, 6, 4),
+                rng.uniform(1, 6, 4),
+            ],
+            -1,
+        ).astype(np.float32)
+    )
+    pooled14 = roi_pool_matmul(fmap, rois, pool_size=14)
+    pooled7 = roi_pool_matmul(fmap, rois, pool_size=7, center_stride=2)
+
+    ref_head = ResNet50RoIHead(n_classes=3, pre_strided=False)
+    new_head = ResNet50RoIHead(n_classes=3, pre_strided=True)
+    params = ref_head.init(jax.random.PRNGKey(0), pooled14)
+    cls_ref, regr_ref = ref_head.apply(params, pooled14)
+    cls_new, regr_new = new_head.apply(params, pooled7)
+    np.testing.assert_allclose(np.asarray(cls_new), np.asarray(cls_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(regr_new), np.asarray(regr_ref), atol=2e-5)
