@@ -88,3 +88,30 @@ def test_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(
             metrics_single[k], metrics_mesh[k], rtol=2e-3, atol=2e-4
         )
+
+
+def test_sharded_panel_predict_matches_single_device():
+    """End-to-end sharded serving: RADNet.predict on a tiled panel over a
+    mesh (device tiling composes with the data-axis sharding - panel
+    replicated, origin batches sharded) produces the same detections as the
+    single-device path."""
+    from radnet_tpu.inference import RADNet
+
+    cfg = tiny_config("vgg16")
+    cfg.bbox_threshold = 0.0
+    cfg.infer_tile_batch = 4  # divisible by the data axis
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    panel = np.random.default_rng(9).integers(0, 255, (130, 140, 3), dtype=np.uint8)
+    assert panel.shape[0] >= cfg.tile_size  # device-tiling path active
+
+    single = RADNet(cfg, model, state.params, state.batch_stats)
+    dets1 = single.predict([panel])
+
+    mesh = make_mesh(4, model_parallel=1)
+    with mesh:
+        sharded = RADNet(cfg, model, state.params, state.batch_stats, mesh=mesh)
+        dets2 = sharded.predict([panel])
+
+    key = lambda d: (d["class"], d["x1"], d["y1"], d["x2"], d["y2"], round(d["prob"], 5))
+    assert sorted(map(key, dets1)) == sorted(map(key, dets2))
