@@ -187,6 +187,12 @@ def fit(
 
     metrics_log.close()
     save_training_plots(record, os.path.join(model_path, "viz"))
+    try:
+        from radnet_tpu.utils.dashboard import generate_dashboard
+
+        generate_dashboard(model_path)
+    except Exception as e:  # dashboards must never fail a training run
+        print(f"dashboard generation failed: {e}")
     return state, record
 
 

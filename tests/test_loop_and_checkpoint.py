@@ -127,3 +127,30 @@ def test_best_ckpt_watermark_uses_unrounded_losses(tmp_path, setup):
     # Epoch 2 improved by 4e-4 over epoch 1; the watermark must register it.
     imp = float(record["model_improvement"].iloc[1])
     assert np.isfinite(imp) and imp < 0
+
+
+def test_dashboard_generation(tmp_path, setup):
+    """fit() renders a self-contained HTML dashboard from record.csv +
+    metrics.jsonl (the no-TF counterpart of the reference's TensorBoard
+    scalars, train.py:72-79)."""
+    import json as _json
+    import re
+
+    cfg, model, state, train_step, _ = setup
+    model_path = str(tmp_path / "m")
+    fit(
+        cfg, state, train_step, _batch_iter(cfg), model_path,
+        epoch_length=2, n_epochs=2, verbose=False,
+    )
+    out = os.path.join(model_path, "dashboard.html")
+    assert os.path.exists(out)
+    doc = open(out).read()
+    assert doc.count("<svg") >= 7  # per-step + per-epoch charts
+    assert 'class="tile"' in doc and "tableview" in doc
+    # embedded hover payloads parse and are consistent
+    import html as _html
+
+    for payload in re.findall(r'data-chart="(.*?)">', doc, re.S):
+        d = _json.loads(_html.unescape(payload))
+        for s in d["series"]:
+            assert len(s["ys"]) == len(d["xvals"])
