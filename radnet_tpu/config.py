@@ -137,6 +137,14 @@ class Config:
     # Slice+resize tiles on device from a panel shipped to HBM once
     # (False: host-side cv2 tiling with async per-batch shipping).
     infer_device_tiling: bool = True
+    # With device tiling: downscale the panel ONCE on the host by the
+    # uniform per-tile factor img_size/tile_size and ship the small panel
+    # (9% of the bytes at the reference 600/2000 geometry); the device
+    # slices ready-sized windows.  False keeps the full-resolution panel +
+    # MXU-bicubic resize on device (better when host CPU, not the
+    # host->device link, is the bottleneck).  Ignored when img_size >=
+    # tile_size (prescale would upscale).
+    infer_panel_prescale: bool = True
     compute_dtype: str = "bfloat16"  # backbone compute dtype on TPU
     vgg_fc_dim: int = 4096  # VGG16 head width (vgg16.py:97-99); reduced in tests
 

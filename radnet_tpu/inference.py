@@ -140,10 +140,42 @@ class RADNet:
 
         return jax.jit(impl)
 
-    def _panel_bucket_pad(self, img: np.ndarray) -> np.ndarray:
+    # ------------------------------------------------------------------ #
+    # Prescaled device tiling: every tile of the uniform tiling gets
+    # resized by the SAME factor img_size/tile_size, so the panel can be
+    # downscaled once on the host (cv2 bicubic, the host tile path's own
+    # resampler) and shipped small - img_size^2/tile_size^2 of the full
+    # panel's bytes (9% at the reference 600/2000 geometry).  The device
+    # program then just slices ready-sized windows: no per-tile resize at
+    # all.  This is the default because the host<->device link is the
+    # scarce resource (CLAUDE.md pitfall #1); `infer_panel_prescale=False`
+    # keeps the full-resolution panel + MXU-bicubic path for hosts where
+    # CPU, not bandwidth, is the bottleneck.
+    # ------------------------------------------------------------------ #
+    @functools.cached_property
+    def _predict_prescaled_tiles_jit(self):
+        cfg = self.C
+        s = cfg.canvas_size
+        out = cfg.img_size
+
+        def impl(variables, panel_small, origins, feat_anchors):
+            def one(origin):
+                tile = jax.lax.dynamic_slice(
+                    panel_small, (origin[1], origin[0], 0), (out, out, 3)
+                )
+                canvas = jnp.zeros((s, s, 3), tile.dtype)
+                return jax.lax.dynamic_update_slice(canvas, tile, (0, 0, 0))
+
+            images = jax.vmap(one)(origins)
+            valid_wh = jnp.full((origins.shape[0], 2), float(out), jnp.float32)
+            # uint8 canvases: preprocess_on_device mean-centers under jit.
+            return self._predict_tiles_impl(variables, images, valid_wh, feat_anchors)
+
+        return jax.jit(impl)
+
+    def _panel_bucket_pad(self, img: np.ndarray, bucket: int = 512) -> np.ndarray:
         """Pad panel dims up to a bucket multiple so distinct panels reuse
         the compiled program (windows never touch the padding)."""
-        bucket = 512
         h, w = img.shape[:2]
         hb = -(-h // bucket) * bucket
         wb = -(-w // bucket) * bucket
@@ -343,7 +375,49 @@ class RADNet:
             and img.shape[0] >= ts
             and img.shape[1] >= ts
         )
-        if device_tiling:
+        prescale = device_tiling and cfg.infer_panel_prescale and cfg.img_size < ts
+        if prescale:
+            # Downscale the whole panel ONCE by the uniform per-tile resize
+            # factor and ship the small panel; the device slices ready-sized
+            # img_size^2 windows.  Numerically this matches the host tile
+            # path except in the ~4 px bicubic support band at interior tile
+            # edges, where the global resize sees true neighbouring pixels
+            # (the per-tile resize clamps) - compare detection sets with
+            # tolerance, not bit-exactly.
+            import cv2
+
+            scale = float(cfg.img_size) / ts
+            sw = max(cfg.img_size, int(round(img.shape[1] * scale)))
+            sh = max(cfg.img_size, int(round(img.shape[0] * scale)))
+            small = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_CUBIC)
+            small = self._panel_bucket_pad(small, bucket=128)
+            if self._batch_sharding is not None:
+                from radnet_tpu.parallel.mesh import replicated
+
+                panel_dev = jax.device_put(small, replicated(self.mesh))
+            else:
+                panel_dev = jax.device_put(small)
+            bs = cfg.infer_tile_batch
+            for start in range(0, len(tiles), bs):
+                chunk = tiles[start : start + bs]
+                slice_xy = np.round(chunk[:, :2] * scale).astype(np.int64)
+                slice_xy[:, 0] = np.clip(slice_xy[:, 0], 0, sw - cfg.img_size)
+                slice_xy[:, 1] = np.clip(slice_xy[:, 1], 0, sh - cfg.img_size)
+                origins = np.zeros((bs, 2), np.int32)
+                origins[: len(chunk)] = slice_xy
+                origins_dev = jnp.asarray(origins)
+                if self._batch_sharding is not None:
+                    origins_dev = jax.device_put(origins_dev, self._batch_sharding)
+                out = self._predict_prescaled_tiles_jit(
+                    self.variables, panel_dev, origins_dev, self._feat_anchors
+                )
+                # Effective panel-space origins of the (rounded) slices, so
+                # the standard coordinate lift stays exact to <1 panel px.
+                chunk_eff = np.array(chunk, copy=True)
+                chunk_eff[:, 0] = np.round(slice_xy[:, 0] / scale)
+                chunk_eff[:, 1] = np.round(slice_xy[:, 1] / scale)
+                pending.append((out, np.full(bs, scale), chunk_eff, len(chunk)))
+        elif device_tiling:
             # Ship the panel once; slice + resize + cascade on device.  On a
             # mesh the panel is replicated and the origin batch shards over
             # the data axis, so each chip runs its slice of the tile batch.

@@ -125,10 +125,12 @@ def test_full_img_pass_ignores_device_tiling():
     assert _sorted_dets(dets_by_mode[True]) == _sorted_dets(dets_by_mode[False])
 
 
-def test_device_vs_host_tiling_equivalence():
-    """The on-device slice+MXU-bicubic tile path and the host cv2 tile path
-    must produce matching detection sets on the same panel with the same
-    weights (catches any ratio/slice regression in the device program)."""
+@pytest.mark.parametrize("prescale", [True, False])
+def test_device_vs_host_tiling_equivalence(prescale):
+    """Both on-device tile paths - prescaled-panel slicing and full-res
+    slice+MXU-bicubic - must produce detection sets matching the host cv2
+    tile path on the same panel with the same weights (catches any
+    ratio/slice regression in either device program)."""
     import dataclasses
 
     base = tiny_config("vgg16")
@@ -139,14 +141,18 @@ def test_device_vs_host_tiling_equivalence():
 
     dets = {}
     for device_tiling in (True, False):
-        cfg = dataclasses.replace(base, infer_device_tiling=device_tiling)
+        cfg = dataclasses.replace(
+            base,
+            infer_device_tiling=device_tiling,
+            infer_panel_prescale=prescale,
+        )
         r = RADNet(cfg, model, state.params, state.batch_stats)
         dets[device_tiling] = r.predict([panel])
 
     dev, host = dets[True], dets[False]
     assert len(dev) == len(host)
     # Greedy one-to-one matching: same class, boxes within a small pixel
-    # tolerance (the two bicubic implementations round differently), probs
+    # tolerance (the resamplers differ at tile-edge support bands), probs
     # close.
     unmatched = list(host)
     for d in dev:
