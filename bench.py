@@ -157,7 +157,11 @@ def main() -> int:
     # Synthetic 4000x4000 panel -> 36 tiles at the reference geometry
     # (tile 2000, step 400 - config.py:36-37).
     rng = np.random.default_rng(0)
-    panel = rng.integers(0, 255, (4000, 4000, 3), dtype=np.uint8)
+    # Grey 3-channel panel - the domain's format (enhanced topographic
+    # visualizations are greyscale stored as 3 identical channels), which
+    # the inference engine exploits by shipping a single channel.
+    grey = rng.integers(0, 255, (4000, 4000), dtype=np.uint8)
+    panel = np.stack([grey] * 3, axis=-1)
 
     from radnet_tpu.data.tiling import plan_tiles
 

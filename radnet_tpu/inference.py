@@ -159,10 +159,18 @@ class RADNet:
         out = cfg.img_size
 
         def impl(variables, panel_small, origins, feat_anchors):
+            grey = panel_small.ndim == 2  # single-channel shipping
+
             def one(origin):
-                tile = jax.lax.dynamic_slice(
-                    panel_small, (origin[1], origin[0], 0), (out, out, 3)
-                )
+                if grey:
+                    tile = jax.lax.dynamic_slice(
+                        panel_small, (origin[1], origin[0]), (out, out)
+                    )
+                    tile = jnp.broadcast_to(tile[..., None], (out, out, 3))
+                else:
+                    tile = jax.lax.dynamic_slice(
+                        panel_small, (origin[1], origin[0], 0), (out, out, 3)
+                    )
                 canvas = jnp.zeros((s, s, 3), tile.dtype)
                 return jax.lax.dynamic_update_slice(canvas, tile, (0, 0, 0))
 
@@ -173,6 +181,23 @@ class RADNet:
 
         return jax.jit(impl)
 
+    @staticmethod
+    def _grey_channel(img: np.ndarray) -> np.ndarray | None:
+        """The single channel of a grey 3-channel panel, else None.
+
+        Rock-art panels are greyscale topographic visualizations stored as
+        3 identical channels (the ``enhanced_topo_grey`` image types);
+        shipping one channel and broadcasting on device cuts host resize
+        work and host->device bytes by 3x.  The full equality check (~30 ms
+        on a 16 MPx panel) guards correctness for genuinely-colored inputs.
+        """
+        if img.ndim != 3 or img.shape[2] != 3:
+            return None
+        c0 = img[..., 0]
+        if np.array_equal(c0, img[..., 1]) and np.array_equal(c0, img[..., 2]):
+            return np.ascontiguousarray(c0)
+        return None
+
     def _panel_bucket_pad(self, img: np.ndarray, bucket: int = 512) -> np.ndarray:
         """Pad panel dims up to a bucket multiple so distinct panels reuse
         the compiled program (windows never touch the padding)."""
@@ -181,7 +206,7 @@ class RADNet:
         wb = -(-w // bucket) * bucket
         if (hb, wb) == (h, w):
             return img
-        padded = np.zeros((hb, wb, 3), img.dtype)
+        padded = np.zeros((hb, wb) + img.shape[2:], img.dtype)
         padded[:h, :w] = img
         return padded
 
@@ -389,7 +414,12 @@ class RADNet:
             scale = float(cfg.img_size) / ts
             sw = max(cfg.img_size, int(round(img.shape[1] * scale)))
             sh = max(cfg.img_size, int(round(img.shape[0] * scale)))
-            small = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_CUBIC)
+            grey = self._grey_channel(img)
+            small = cv2.resize(
+                grey if grey is not None else img,
+                (sw, sh),
+                interpolation=cv2.INTER_CUBIC,
+            )
             small = self._panel_bucket_pad(small, bucket=128)
             if self._batch_sharding is not None:
                 from radnet_tpu.parallel.mesh import replicated

@@ -149,11 +149,14 @@ def test_device_vs_host_tiling_equivalence(prescale):
         r = RADNet(cfg, model, state.params, state.batch_stats)
         dets[device_tiling] = r.predict([panel])
 
-    dev, host = dets[True], dets[False]
+    _match_det_sets(dets[True], dets[False])
+
+
+def _match_det_sets(dev, host):
+    """Greedy one-to-one matching: same class, boxes within a small pixel
+    tolerance (the resamplers differ at tile-edge support bands), probs
+    close."""
     assert len(dev) == len(host)
-    # Greedy one-to-one matching: same class, boxes within a small pixel
-    # tolerance (the resamplers differ at tile-edge support bands), probs
-    # close.
     unmatched = list(host)
     for d in dev:
         best = None
@@ -167,6 +170,30 @@ def test_device_vs_host_tiling_equivalence(prescale):
                 break
         assert best is not None, f"no host match for device det {d}"
         unmatched.remove(best)
+
+
+def test_grey_panel_single_channel_shipping_equivalence():
+    """A grey 3-channel panel (the domain's format) takes the
+    single-channel prescale shipping path; detections must match the host
+    path on the identical panel."""
+    import dataclasses
+
+    base = tiny_config("vgg16")
+    base.bbox_threshold = 0.0
+    model = build_model(base)
+    state = create_train_state(model, base, jax.random.PRNGKey(0))
+    grey = np.random.default_rng(7).integers(0, 255, (130, 140), dtype=np.uint8)
+    panel = np.stack([grey] * 3, axis=-1)
+    assert RADNet._grey_channel(panel) is not None
+    assert RADNet._grey_channel(np.random.default_rng(8).integers(
+        0, 255, (20, 20, 3), dtype=np.uint8)) is None
+
+    dets = {}
+    for device_tiling in (True, False):
+        cfg = dataclasses.replace(base, infer_device_tiling=device_tiling)
+        r = RADNet(cfg, model, state.params, state.batch_stats)
+        dets[device_tiling] = r.predict([panel])
+    _match_det_sets(dets[True], dets[False])
 
 
 def test_panel_bucket_pad(radnet):
