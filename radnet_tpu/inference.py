@@ -323,21 +323,31 @@ class RADNet:
         all_bbox: dict[str, list] = {}
         all_probs: dict[str, list] = {}
 
+        # Dispatch ALL images' tile batches before draining any: jax
+        # execution is async, so host-side prep of image k+1 (grey detect,
+        # cv2 prescale, canvas building) overlaps device compute of image k
+        # - the multi-image-type cascade (RADNet.py:502-506 runs the whole
+        # pipeline once per type) pipelines instead of serializing.
+        per_image_pending = []
         for img in images:
-            bbox_total: dict[str, list] = {}
-            probs_total: dict[str, list] = {}
-
+            pending: list = []
             if cfg.max_n_tiles_train > 0:
                 tiles = plan_tiles(
                     img.shape[1], img.shape[0], cfg.tile_size, cfg.tile_overlap
                 )
-                self._accumulate_tiles(img, tiles, bbox_total, probs_total)
+                self._dispatch_tiles(img, tiles, pending)
 
             if cfg.include_full_img:
                 full_tile = np.array(
                     [[0, 0, img.shape[1], img.shape[0]]], dtype=np.int64
                 )
-                self._accumulate_tiles(img, full_tile, bbox_total, probs_total)
+                self._dispatch_tiles(img, full_tile, pending)
+            per_image_pending.append(pending)
+
+        for pending in per_image_pending:
+            bbox_total: dict[str, list] = {}
+            probs_total: dict[str, list] = {}
+            self._drain_tiles(pending, bbox_total, probs_total)
 
             # Cross-tile cluster-average NMS per class (RADNet.py:670-678).
             for key in bbox_total:
@@ -375,12 +385,19 @@ class RADNet:
         return detections
 
     def _accumulate_tiles(self, img, tiles, bbox_total, probs_total) -> None:
+        pending: list = []
+        self._dispatch_tiles(img, tiles, pending)
+        self._drain_tiles(pending, bbox_total, probs_total)
+
+    def _dispatch_tiles(self, img, tiles, pending: list) -> None:
+        """Dispatch every tile batch of one image (appending to ``pending``).
+
+        jax execution is async, so transfers and compute of batch k+1
+        overlap with batch k (the reference blocks on the device ~16x per
+        tile, RADNet.py:543-604); results are collected by
+        :meth:`_drain_tiles`.
+        """
         cfg = self.C
-        n_fg = cfg.n_classes - 1
-        # Phase 1: dispatch every tile batch.  jax execution is async, so
-        # transfers and compute of batch k+1 overlap with batch k (the
-        # reference blocks on the device ~16x per tile, RADNet.py:543-604).
-        pending = []
         ts = cfg.tile_size
         # The fixed-shape device program slices exactly tile_size^2 windows,
         # so it only applies when EVERY window has that extent (plan_tiles
@@ -476,7 +493,11 @@ class RADNet:
             for imgs, wh, scales, chunk, n in self._tile_batches(img, tiles):
                 out = self._predict_tiles(jnp.asarray(imgs), jnp.asarray(wh))
                 pending.append((out, scales, chunk, n))
-        # Phase 2: drain results in order.
+
+    def _drain_tiles(self, pending: list, bbox_total, probs_total) -> None:
+        """Collect dispatched tile-batch results in order."""
+        cfg = self.C
+        n_fg = cfg.n_classes - 1
         for out, scales, chunk, n in pending:
             boxes, scores, valid = jax.device_get(out)
             for i in range(n):
