@@ -78,7 +78,7 @@ def main(argv=None) -> int:
         learning_rate=args.lr,
         base_net_trainable=config.base_net_cont_trainable,  # cont_train.py:151
     )
-    ckpt_path = os.path.join(model_path, "ckpt_best")
+    ckpt_path = ckpt._resolve_checkpoint_path(os.path.join(model_path, "ckpt_best"))
     if not os.path.isdir(ckpt_path):
         ckpt_path = os.path.join(model_path, "ckpt_last")
     if args.fresh_optimizer:

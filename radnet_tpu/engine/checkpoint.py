@@ -34,16 +34,48 @@ def _as_pytree(state: TrainState, best_total_loss: float) -> dict[str, Any]:
 def save_checkpoint(
     path: str, state: TrainState, best_total_loss: float = float("inf")
 ) -> None:
+    """Crash-safe overwrite: write beside, then swap.
+
+    ``Checkpointer.save(force=True)`` deletes the destination *before*
+    writing the replacement, so a crash mid-save (e.g. a device fetch that
+    never returns) destroys the previous checkpoint.  Writing to a ``.new``
+    sibling first keeps the old checkpoint intact until the new one is
+    fully on disk; the swap window is two renames, not a device fetch.
+    """
     path = os.path.abspath(path)
+    new_path = path + ".new"
+    old_path = path + ".old"
+    for stale in (new_path, old_path):
+        if os.path.exists(stale):
+            import shutil
+
+            shutil.rmtree(stale)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _as_pytree(state, best_total_loss), force=True)
+        ckptr.save(new_path, _as_pytree(state, best_total_loss))
+    if os.path.exists(path):
+        os.rename(path, old_path)
+    os.rename(new_path, path)
+    if os.path.exists(old_path):
+        import shutil
+
+        shutil.rmtree(old_path)
+
+
+def _resolve_checkpoint_path(path: str) -> str:
+    """Fall back to the ``.old`` sibling if a crash hit the swap window."""
+    if os.path.isdir(path):
+        return path
+    old_path = path + ".old"
+    if os.path.isdir(old_path):
+        return old_path
+    return path
 
 
 def restore_checkpoint(
     path: str, template_state: TrainState
 ) -> tuple[TrainState, float]:
     """Restore into the structure of ``template_state`` (same model/opt)."""
-    path = os.path.abspath(path)
+    path = _resolve_checkpoint_path(os.path.abspath(path))
     template = _as_pytree(template_state, 0.0)
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
     with ocp.StandardCheckpointer() as ckptr:
@@ -76,7 +108,7 @@ def restore_params_only(path: str, template_state: TrainState) -> TrainState:
     trainability-partition changes where the full restore cannot.
     """
     with ocp.StandardCheckpointer() as ckptr:
-        raw = ckptr.restore(os.path.abspath(path))
+        raw = ckptr.restore(_resolve_checkpoint_path(os.path.abspath(path)))
     for key in ("params", "batch_stats"):
         t = jax.tree_util.tree_structure(getattr(template_state, key))
         r = jax.tree_util.tree_structure(raw[key])

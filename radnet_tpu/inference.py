@@ -602,7 +602,9 @@ def load_radnet(model_dir: str) -> RADNet:
     config = Config.load(os.path.join(model_dir, "config.json"))
     model = build_model(config)
     template = create_train_state(model, config, jrandom.PRNGKey(0))
-    ckpt_path = os.path.join(model_dir, "ckpt_best")
+    from radnet_tpu.engine.checkpoint import _resolve_checkpoint_path
+
+    ckpt_path = _resolve_checkpoint_path(os.path.join(model_dir, "ckpt_best"))
     if not os.path.isdir(ckpt_path):
         ckpt_path = os.path.join(model_dir, "ckpt_last")
     state, _ = restore_checkpoint(ckpt_path, template)

@@ -95,6 +95,35 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_checkpoint_overwrite_is_crash_safe(tmp_path, setup):
+    """Overwriting a checkpoint must never destroy the previous one before
+    the replacement is fully on disk (a save whose device fetch hangs used
+    to delete ckpt_best first via force=True), and a crash inside the
+    rename swap must remain restorable via the .old sibling."""
+    import shutil
+
+    cfg, model, state, step, _ = setup
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, state, best_total_loss=2.0)
+    ckpt.save_checkpoint(path, state, best_total_loss=1.0)  # overwrite
+    template = create_train_state(model, cfg, jax.random.PRNGKey(99))
+    _, best = ckpt.restore_checkpoint(path, template)
+    assert best == 1.0
+    assert not os.path.exists(path + ".new")
+    assert not os.path.exists(path + ".old")
+
+    # Simulate a crash between the two renames: only .old exists.
+    os.rename(path, path + ".old")
+    _, best = ckpt.restore_checkpoint(path, template)
+    assert best == 1.0
+    # A subsequent save cleans the stale .old and wins.
+    ckpt.save_checkpoint(path, state, best_total_loss=0.5)
+    _, best = ckpt.restore_checkpoint(path, template)
+    assert best == 0.5
+    assert not os.path.exists(path + ".old")
+    shutil.rmtree(path)
+
+
 def test_best_ckpt_watermark_uses_unrounded_losses(tmp_path, setup):
     """A 1e-3-scale improvement must still trigger a best checkpoint: the
     watermark compares unrounded epoch means (rounding to the record.csv
