@@ -9,7 +9,9 @@ read so non-ASCII paths survive (utils.py:127-130).  Images come back BGR.
 
 from __future__ import annotations
 
+import collections
 import os
+import threading
 import time
 from typing import Any
 
@@ -45,10 +47,52 @@ def get_image(
     path = os.path.join(*parts)
     if img_path.startswith("/"):  # preserve absolute roots
         path = "/" + path.lstrip("/")
+    cached = _decoded_cache_get(path)
+    if cached is not None:
+        return cached
     img = cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(f"cannot decode image: {path}")
+    _decoded_cache_put(path, img)
     return img
+
+
+# --------------------------------------------------------------------------- #
+# Decoded-panel LRU cache.  Panels are revisited every epoch and PNG
+# decoding a giga-pixel scan costs 50-100+ ms of the single host core the
+# augmentation pipeline lives on; caching the decoded array amortizes it
+# to zero for datasets that fit the budget.  Entries are returned
+# read-only (augmentation never mutates its input; the flag makes any
+# future in-place write a loud error instead of silent cache corruption);
+# tile crops np.copy their slices already.
+# --------------------------------------------------------------------------- #
+DECODED_CACHE_MB = 1024  # set to 0 to disable
+
+_decoded_cache: "collections.OrderedDict[str, np.ndarray]" = collections.OrderedDict()
+_decoded_cache_lock = threading.Lock()
+_decoded_cache_bytes = 0
+
+
+def _decoded_cache_get(path: str):
+    with _decoded_cache_lock:
+        img = _decoded_cache.get(path)
+        if img is not None:
+            _decoded_cache.move_to_end(path)  # LRU refresh
+        return img
+
+
+def _decoded_cache_put(path: str, img: np.ndarray) -> None:
+    global _decoded_cache_bytes
+    budget = DECODED_CACHE_MB * 1024 * 1024
+    if img.nbytes > budget or path in _decoded_cache:
+        return
+    img.setflags(write=False)
+    with _decoded_cache_lock:
+        while _decoded_cache and _decoded_cache_bytes + img.nbytes > budget:
+            _, evicted = _decoded_cache.popitem(last=False)
+            _decoded_cache_bytes -= evicted.nbytes
+        _decoded_cache[path] = img
+        _decoded_cache_bytes += img.nbytes
 
 
 def get_data(

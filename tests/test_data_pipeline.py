@@ -1,5 +1,7 @@
 """Data engine tests: tiling plan, augmentation invariants, generator flow."""
 
+import os
+
 import numpy as np
 
 from radnet_tpu.data import augment as aug
@@ -336,3 +338,39 @@ def test_parallel_generator_propagates_worker_errors(tmp_path, monkeypatch):
     )
     with pytest.raises(ValueError, match="corrupt sample"):
         next(gen)
+
+
+def test_decoded_image_cache(tmp_path, monkeypatch):
+    """get_image caches decoded panels (read-only), evicts by LRU budget."""
+    import cv2
+
+    from radnet_tpu.data import dataset
+
+    os.makedirs(tmp_path / "data" / "t" / "x", exist_ok=True)
+    for name in ("a.png", "b.png"):
+        cv2.imwrite(
+            str(tmp_path / "data" / "t" / "x" / name),
+            np.random.default_rng(0).integers(0, 255, (10, 12, 3), np.uint8),
+        )
+    monkeypatch.chdir(tmp_path)
+    dataset._decoded_cache.clear()
+    dataset._decoded_cache_bytes = 0
+
+    img1 = dataset.get_image("data/x/a.png", ["t"])
+    assert not img1.flags.writeable  # cached entries are frozen
+    img2 = dataset.get_image("data/x/a.png", ["t"])
+    assert img2 is img1  # cache hit
+    # callers that crop tiles copy; the copy is writable again
+    assert np.copy(img1[:5, :5]).flags.writeable
+
+    # Budget just under two images: loading b evicts a (LRU).
+    monkeypatch.setattr(
+        dataset, "DECODED_CACHE_MB", (2 * img1.nbytes - 1) / (1024.0 * 1024.0)
+    )
+    dataset.get_image("data/x/b.png", ["t"])
+    img3 = dataset.get_image("data/x/a.png", ["t"])  # reloaded, not cached id
+    assert img3 is not img1
+    assert dataset._decoded_cache_bytes <= 2 * img1.nbytes - 1
+
+    dataset._decoded_cache.clear()
+    dataset._decoded_cache_bytes = 0
