@@ -60,7 +60,9 @@ def main(argv=None) -> int:
         elapsed.append(time.time() - t0)
 
         try:
-            img = get_image(img_meta["filepath"], [viz_type], random_type=False)
+            img = get_image(
+                img_meta["filepath"], [viz_type], random_type=False, writable=True
+            )
             draw_detections(img, detections)
             import cv2
 

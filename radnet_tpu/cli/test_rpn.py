@@ -47,7 +47,9 @@ def main(argv=None) -> int:
 
     recalled = total = 0
     for idx, img_meta in enumerate(data):
-        img = get_image(img_meta["filepath"], radnet.C.img_types, random_type=False)
+        img = get_image(
+            img_meta["filepath"], radnet.C.img_types, random_type=False, writable=True
+        )
         proposals = radnet.predict_region_proposals(img)
         print(f"{img_meta['filepath']}: {len(proposals)} proposals")
 

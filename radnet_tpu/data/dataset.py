@@ -25,12 +25,17 @@ def get_image(
     types: list[str],
     random_type: bool = False,
     rng: np.random.Generator | None = None,
+    writable: bool = False,
 ) -> np.ndarray:
     """Load one image, injecting the image type as the 2nd path segment.
 
     With ``random_type`` the type is drawn with the reference's weighting:
     the first type gets probability 0.3 (0.5 when there are <= 3 types) and
     the rest share the remainder uniformly (utils.py:115-122).
+
+    Returns a read-only view of the decoded-panel cache by default; pass
+    ``writable=True`` when the caller draws on the image in place (the
+    visualization CLIs) - that costs one copy on a cache hit.
     """
     img_type = types[0]
     if random_type and len(types) > 1:
@@ -49,12 +54,12 @@ def get_image(
         path = "/" + path.lstrip("/")
     cached = _decoded_cache_get(path)
     if cached is not None:
-        return cached
+        return cached.copy() if writable else cached
     img = cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(f"cannot decode image: {path}")
     _decoded_cache_put(path, img)
-    return img
+    return img.copy() if writable else img
 
 
 # --------------------------------------------------------------------------- #

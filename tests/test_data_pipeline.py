@@ -360,6 +360,12 @@ def test_decoded_image_cache(tmp_path, monkeypatch):
     assert not img1.flags.writeable  # cached entries are frozen
     img2 = dataset.get_image("data/x/a.png", ["t"])
     assert img2 is img1  # cache hit
+    # Visualization CLIs draw in place: writable=True must hand out a
+    # mutable copy even on a cache hit, leaving the cached entry frozen.
+    img_w = dataset.get_image("data/x/a.png", ["t"], writable=True)
+    assert img_w.flags.writeable and img_w is not img1
+    img_w[0, 0] = 0
+    assert not img1.flags.writeable
     # callers that crop tiles copy; the copy is writable again
     assert np.copy(img1[:5, :5]).flags.writeable
 
