@@ -40,6 +40,13 @@ class Config:
     use_shear: bool = True
     use_brightness: bool = True
     use_noise: bool = True
+    # Run the photometric ops (brightness + noise/contrast) batched on
+    # device inside the fused train step instead of per-sample on the host
+    # (profiled at ~70% of host sample time; they are elementwise - VPU
+    # work).  Geometric ops stay on the host where the dynamic canvas and
+    # bbox bookkeeping live.  See ops/augment_device.py for the (small,
+    # documented) pre- vs post-resize semantic difference.
+    augment_photometric_on_device: bool = True
 
     # ------------------------------------------------------------------ #
     # Image types (reference config.py:28-33)

@@ -34,13 +34,22 @@ def get_truncated_normal(mean=0.0, sd=1.0, low=0.0, upp=1.0):
 
 
 def strap_img(img: np.ndarray) -> tuple[int, int, int, int]:
-    """Bounding rows/cols of finite, nonzero content (augmentation.py:17-31)."""
-    finite = np.isfinite(img[:, :, 1])
-    if (~finite).sum() == 0:
-        rows, cols = np.nonzero(img[:, :, 1])
-    else:
-        rows, cols = np.nonzero(finite)
-    return rows.min(), rows.max(), cols.min(), cols.max()
+    """Bounding rows/cols of finite, nonzero content (augmentation.py:17-31).
+
+    Same result as the reference's ``np.nonzero(...).min()/max()`` but via
+    row/column ``any`` reductions - ``nonzero`` materializes every content
+    index (megabytes per call on panel-sized tiles) just to take min/max,
+    and profiled as ~25% of the whole augmentation stack.
+    """
+    ch = img[:, :, 1]
+    if np.issubdtype(ch.dtype, np.floating):
+        finite = np.isfinite(ch)
+        mask = (ch != 0) & finite if finite.all() else finite
+    else:  # integer images are always finite -> nonzero-content branch
+        mask = ch != 0
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    return rows[0], rows[-1], cols[0], cols[-1]
 
 
 def clip_box(bbox: np.ndarray, img_box, alpha: float) -> tuple[np.ndarray, np.ndarray]:
@@ -206,10 +215,14 @@ def brightness(img, bboxes, rng: np.random.Generator):
     background = img == 0
     imgf = img.astype(np.float32)
     max_b, min_b = 180.0, 75.0
-    nonbg = imgf[~background]
-    if nonbg.size == 0:
+    # Mean over non-background pixels, without materializing the selected
+    # elements: background pixels are exactly 0 so they add nothing to the
+    # sum (augmentation.py:314 computed img[~background].mean()).
+    n_bg = np.count_nonzero(background)
+    n_fg = img.size - n_bg
+    if n_fg == 0:
         return img, bboxes
-    avg = nonbg.mean()
+    avg = float(imgf.sum()) / n_fg
     if avg <= min_b or avg >= max_b:
         return img, bboxes
     p = (avg - min_b) / (max_b - min_b)
@@ -242,9 +255,12 @@ def _apply_grey_aware(img, img_type, fn):
     """Apply ``fn`` (float[0,1] -> float[0,1]) channel-0-only for grey image
     types, duplicating to all channels, else to the whole image; zero
     background preserved (augmentation.py:363-397 pattern)."""
+    # float32 instead of the reference's implicit float64: halves the
+    # memory traffic of the noise ops (the hottest host-side stage) with
+    # no observable effect after the final round-trip to uint8.
     if "grey" in img_type:
         background = img[:, :, 0] == 0
-        noisy = _as_ubyte(fn(img[:, :, 0].astype(np.float64) / 255.0))
+        noisy = _as_ubyte(fn(img[:, :, 0].astype(np.float32) / np.float32(255.0)))
         noisy[background] = 0
         out = img.copy()
         out[:, :, 0] = noisy
@@ -252,7 +268,7 @@ def _apply_grey_aware(img, img_type, fn):
         out[:, :, 2] = noisy
         return out
     background = img == 0
-    noisy = _as_ubyte(fn(img.astype(np.float64) / 255.0))
+    noisy = _as_ubyte(fn(img.astype(np.float32) / np.float32(255.0)))
     noisy[background] = 0
     return noisy
 
@@ -264,7 +280,7 @@ def salt_and_pepper_noise(img, bboxes, img_type, rng: np.random.Generator):
 
     def fn(x):
         out = x.copy()
-        r = rng.random(x.shape)
+        r = rng.random(x.shape, dtype=np.float32)
         out[r < amount * svp] = 1.0
         out[(r >= amount * svp) & (r < amount)] = 0.0
         return out
@@ -278,7 +294,8 @@ def gaussian_noise(img, bboxes, img_type, rng: np.random.Generator):
     var = (0.01 - 0.001) * rng.random() + 0.001
 
     def fn(x):
-        return x + rng.normal(mean, var**0.5, x.shape)
+        noise = rng.standard_normal(x.shape, dtype=np.float32)
+        return x + (noise * np.float32(var**0.5) + np.float32(mean))
 
     return _apply_grey_aware(img, img_type, fn), bboxes
 
@@ -288,9 +305,12 @@ def poisson_noise(img, bboxes, img_type, rng: np.random.Generator):
     number of unique values rounded up to a power of two, draw poisson."""
 
     def fn(x):
-        n_unique = max(len(np.unique(x)), 2)
+        # x is uint8/255, so the unique count is the number of occupied
+        # uint8 bins - a bincount instead of the reference's full sort.
+        bins = np.bincount(np.rint(x * 255.0).astype(np.uint8).ravel(), minlength=256)
+        n_unique = max(int(np.count_nonzero(bins)), 2)
         vals = 2.0 ** np.ceil(np.log2(n_unique))
-        return rng.poisson(x * vals) / float(vals)
+        return rng.poisson(x * vals) / np.float32(vals)
 
     return _apply_grey_aware(img, img_type, fn), bboxes
 
@@ -314,6 +334,10 @@ def augment(
     assert "bboxes" in img_data and "width" in img_data and "height" in img_data
     rng = rng or np.random.default_rng()
     img_data_aug = copy.deepcopy(img_data)
+    # When the fused train step applies photometric augmentation on device
+    # (ops/augment_device.py), the host stage skips it - same schedule,
+    # executed where it is free.
+    photometric = not getattr(config, "augment_photometric_on_device", False)
 
     if do_augment:
         boxes = img_data_aug["bboxes"]
@@ -327,9 +351,9 @@ def augment(
             img, boxes = any_degree_rotation(img, boxes, rng)
         if config.use_shear and rng.random() < 0.25:
             img, boxes = shear(img, boxes, rng)
-        if config.use_brightness and rng.random() < 0.5:
+        if photometric and config.use_brightness and rng.random() < 0.5:
             img, boxes = brightness(img, boxes, rng)
-        if config.use_noise and rng.random() < 0.5:
+        if photometric and config.use_noise and rng.random() < 0.5:
             r = rng.integers(0, 4)
             img_type = config.img_types[0]
             if r == 0:

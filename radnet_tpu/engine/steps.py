@@ -64,9 +64,30 @@ def compute_losses(
     from radnet_tpu.data.pipeline import preprocess_on_device
 
     variables = {"params": params, "batch_stats": batch_stats}
+    images = batch["image"]
+    # Photometric augmentation runs here on device when configured (the
+    # host pipeline then skips its brightness/noise stage): elementwise VPU
+    # work on canvases that are already on device.  Training only - the
+    # eval step passes deterministic=True, matching the reference's
+    # augment=False validation generator (utils.py:334).
+    if (
+        not deterministic
+        and config.augment_photometric_on_device
+        and (config.use_brightness or config.use_noise)
+        and images.dtype == jnp.uint8  # float batches are pre-centered
+    ):
+        from radnet_tpu.ops.augment_device import photometric_augment
+
+        images = photometric_augment(
+            images,
+            jax.random.fold_in(rng, 7),
+            grey="grey" in config.img_types[0],
+            use_brightness=config.use_brightness,
+            use_noise=config.use_noise,
+        ).astype(jnp.uint8)  # values are floored/rinted into 0..255
     # uint8 canvases are mean-centered here on device (pipeline ships raw
     # bytes to quarter the host->device traffic); float inputs pass through.
-    images = preprocess_on_device(batch["image"])
+    images = preprocess_on_device(images)
     b = images.shape[0]
     num_anchors = config.n_anchors
     scales = tuple(config.anchor_box_scales)
