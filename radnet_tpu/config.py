@@ -47,6 +47,15 @@ class Config:
     # bbox bookkeeping live.  See ops/augment_device.py for the (small,
     # documented) pre- vs post-resize semantic difference.
     augment_photometric_on_device: bool = True
+    # Resize the cropped tile to the canvas working size BEFORE the host
+    # geometric augmentation instead of after (the reference augments at
+    # full tile resolution, utils.py:394-416): warpAffine / flips / strap
+    # then touch ~(img_size)^2 pixels instead of ~(tile_size)^2 - ~11x
+    # fewer at the reference 600/2000 geometry - for a statistically
+    # equivalent augmentation distribution (rotation/shear angles are
+    # scale-free; one extra bicubic resample).  Turn off to reproduce the
+    # reference's augment-then-resize order exactly.
+    augment_at_canvas_scale: bool = True
 
     # ------------------------------------------------------------------ #
     # Image types (reference config.py:28-33)

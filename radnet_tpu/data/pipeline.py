@@ -78,6 +78,39 @@ def resize_to_canvas(
     return canvas, scale, new_w, new_h
 
 
+def prescale_for_augment(
+    img: np.ndarray,
+    meta: dict[str, Any],
+    config: Config,
+) -> tuple[np.ndarray, dict[str, Any]]:
+    """Resize ``img`` (longest side -> ``img_size``) and scale its bbox
+    dicts, so the geometric augmentation runs at canvas scale
+    (``Config.augment_at_canvas_scale``).  No-op when the image is already
+    at or below the working size."""
+    h, w = img.shape[:2]
+    if max(h, w) <= config.img_size:
+        return img, meta
+    scale = float(config.img_size) / max(h, w)
+    new_w = max(1, int(round(w * scale)))
+    new_h = max(1, int(round(h * scale)))
+    img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
+    sx, sy = new_w / float(w), new_h / float(h)
+    boxes = []
+    for b in meta["bboxes"]:
+        nb = dict(b)
+        nb["x1"] = int(b["x1"] * sx)
+        nb["y1"] = int(b["y1"] * sy)
+        nb["x2"] = min(int(np.ceil(b["x2"] * sx)), new_w)
+        nb["y2"] = min(int(np.ceil(b["y2"] * sy)), new_h)
+        if nb["x2"] > nb["x1"] and nb["y2"] > nb["y1"]:
+            boxes.append(nb)
+    meta = dict(meta)
+    meta["bboxes"] = boxes
+    meta["width"] = new_w
+    meta["height"] = new_h
+    return img, meta
+
+
 def make_sample(
     img_bgr: np.ndarray,
     bboxes: list[dict[str, Any]],
@@ -171,6 +204,8 @@ def image_sample_generator(
                 "height": img.shape[0],
                 "bboxes": [dict(b) for b in img_data["bboxes"]],
             }
+            if train_mode and config.augment_at_canvas_scale:
+                img, meta = prescale_for_augment(img, meta, config)
             meta, img = aug.augment(meta, img, config, do_augment=train_mode, rng=rng)
             if not meta["bboxes"]:
                 continue
@@ -282,6 +317,10 @@ def tile_sample_generator(
                 ):
                     continue
 
+                if train_mode and config.augment_at_canvas_scale:
+                    tile_img, tile_data = prescale_for_augment(
+                        tile_img, tile_data, config
+                    )
                 tile_data, tile_img = aug.augment(
                     tile_data, tile_img, config, do_augment=train_mode, rng=rng
                 )
@@ -297,8 +336,13 @@ def tile_sample_generator(
                     "height": img_data["height"],
                     "bboxes": [dict(b) for b in img_data["bboxes"]],
                 }
+                full_img = img
+                if train_mode and config.augment_at_canvas_scale:
+                    full_img, full_data = prescale_for_augment(
+                        full_img, full_data, config
+                    )
                 full_data, full_img = aug.augment(
-                    full_data, img, config, do_augment=train_mode, rng=rng
+                    full_data, full_img, config, do_augment=train_mode, rng=rng
                 )
                 if full_data["bboxes"]:
                     yield make_sample(

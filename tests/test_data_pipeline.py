@@ -244,6 +244,33 @@ def test_get_data_and_generator_end_to_end(tmp_path, monkeypatch):
     assert 1 <= len(val_samples) <= 6
 
 
+def test_prescale_for_augment_scales_boxes():
+    from radnet_tpu.data.pipeline import prescale_for_augment
+    from radnet_tpu.config import Config
+
+    cfg = Config(img_size=60, canvas_size=64)
+    img = np.zeros((200, 400, 3), np.uint8)
+    meta = {
+        "width": 400,
+        "height": 200,
+        "bboxes": [{"class": "boat", "x1": 100, "y1": 50, "x2": 300, "y2": 150}],
+    }
+    out_img, out_meta = prescale_for_augment(img, meta, cfg)
+    assert out_img.shape[:2] == (30, 60)  # longest side -> img_size
+    b = out_meta["bboxes"][0]
+    # box scales with the image (x by 60/400, y by 30/200) within rounding
+    assert abs(b["x1"] - 15) <= 1 and abs(b["x2"] - 45) <= 1
+    assert abs(b["y1"] - 7.5) <= 1 and abs(b["y2"] - 22.5) <= 1
+    assert out_meta["width"] == 60 and out_meta["height"] == 30
+    # input meta untouched
+    assert meta["bboxes"][0]["x1"] == 100
+
+    # no-op below working size
+    small = np.zeros((40, 40, 3), np.uint8)
+    s_img, s_meta = prescale_for_augment(small, {"width": 40, "height": 40, "bboxes": []}, cfg)
+    assert s_img is small
+
+
 def test_get_new_img_size_reference_semantics():
     from radnet_tpu.data.pipeline import get_new_img_size
 
