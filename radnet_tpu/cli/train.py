@@ -128,7 +128,12 @@ def main(argv=None) -> int:
 
     # Model directory (train.py:159-184).
     if args.model_name:
-        model_name = config.model_path + "_" + args.model_name
+        # Accept either the bare name or the already-prefixed form the
+        # eval/predict CLIs use (faster_rcnn_<net>_<name>) - no double prefix.
+        if args.model_name.startswith(config.model_path + "_"):
+            model_name = args.model_name
+        else:
+            model_name = config.model_path + "_" + args.model_name
         if os.path.exists(os.path.join(args.models_path, model_name)):
             print("Model already exists.")
             return 1

@@ -172,15 +172,20 @@ def fit(
         # -------------------------------------------------------------- #
         # Best checkpoint on watched loss (train.py:565-599).
         # -------------------------------------------------------------- #
-        if watch < best_total_loss:
+        improved = watch < best_total_loss
+        if improved:
             row["model_improvement"] = watch - best_total_loss
             if verbose:
                 print(f"Total loss decreased from {best_total_loss} to {watch}, saving weights")
             best_total_loss = watch
-            ckpt.save_checkpoint(os.path.join(model_path, "ckpt_best"), state, best_total_loss)
         else:
             row["model_improvement"] = None
-        ckpt.save_checkpoint(os.path.join(model_path, "ckpt_last"), state, best_total_loss)
+        # ONE device fetch serves both checkpoints - params + opt state
+        # dominate host<->device traffic on the tunneled backend.
+        host_tree = ckpt.fetch_checkpoint_tree(state, best_total_loss)
+        if improved:
+            ckpt.save_checkpoint_tree(os.path.join(model_path, "ckpt_best"), host_tree)
+        ckpt.save_checkpoint_tree(os.path.join(model_path, "ckpt_last"), host_tree)
 
         record = pd.concat([record, pd.DataFrame([row])], ignore_index=True)
         record.to_csv(record_path, index=False)
