@@ -105,7 +105,9 @@ def main(argv=None) -> int:
         if "val_total_loss" in record and record["val_total_loss"].notna().any():
             best = min(best, float(record["val_total_loss"].min()))
 
-    train_step = make_train_step(model, config)
+    train_step = make_train_step(
+        model, config, trunk_trainable=config.base_net_cont_trainable
+    )
     eval_step = make_eval_step(model, config) if use_val else None
 
     train_samples = parallel_sample_generator(

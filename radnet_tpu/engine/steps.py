@@ -59,8 +59,15 @@ def compute_losses(
     rng: jax.Array,
     deterministic: bool,
     anchors: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    trunk_frozen: bool = False,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    """Forward pass + all four losses for one batch of tiles."""
+    """Forward pass + all four losses for one batch of tiles.
+
+    ``trunk_frozen``: the ENTIRE trunk is below the trainability cut
+    (``base_net_trainable=False``, the reference's train.py default) - a
+    ``stop_gradient`` on the feature map then removes the whole trunk
+    backward pass from the compiled step (the optimizer mask alone only
+    zeroes the already-computed updates unless XLA happens to DCE them)."""
     from radnet_tpu.data.pipeline import preprocess_on_device
 
     variables = {"params": params, "batch_stats": batch_stats}
@@ -131,6 +138,8 @@ def compute_losses(
     # Shared trunk once; both stages reuse ``fmap``.
     # ------------------------------------------------------------------ #
     fmap = model.apply(variables, images, method=FasterRCNN.features)
+    if trunk_frozen:
+        fmap = jax.lax.stop_gradient(fmap)
     rpn_cls, rpn_regr = model.apply(variables, fmap, method=FasterRCNN.rpn)
 
     l_rpn_cls = losses.rpn_loss_cls(y_rpn_cls, rpn_cls, num_anchors)
@@ -226,8 +235,17 @@ def _device_anchors(config: Config):
     return img, feat
 
 
-def make_train_step(model: FasterRCNN, config: Config) -> Callable:
-    """Build the jitted fused train step."""
+def make_train_step(
+    model: FasterRCNN, config: Config, trunk_trainable: bool | None = None
+) -> Callable:
+    """Build the jitted fused train step.
+
+    ``trunk_trainable`` must match the trainability the optimizer was
+    built with (``create_train_state``'s ``base_net_trainable``); default
+    is ``config.base_net_trainable``.  When the trunk is fully frozen the
+    step skips its backward pass entirely (see ``compute_losses``)."""
+    if trunk_trainable is None:
+        trunk_trainable = config.base_net_trainable
     anchors = _device_anchors(config)
 
     @jax.jit
@@ -235,7 +253,7 @@ def make_train_step(model: FasterRCNN, config: Config) -> Callable:
         def loss_fn(params):
             return compute_losses(
                 model, config, params, state.batch_stats, batch, rng, False,
-                anchors=anchors,
+                anchors=anchors, trunk_frozen=not trunk_trainable,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
