@@ -67,6 +67,72 @@ def _mean(metrics_list: list[dict[str, Any]], key: str) -> float:
     return float(np.mean([float(m[key]) for m in metrics_list]))
 
 
+class AsyncSaver:
+    """Checkpoint saves on a worker thread, so the device fetch (the
+    dominant host<->device traffic of an epoch; can stall for minutes on
+    the tunneled backend) overlaps the next epoch's training.
+
+    Submissions coalesce per checkpoint kind: if a save for the same path
+    is still queued when a newer state arrives, the queued one is
+    replaced - only the newest state matters for both ``best`` and
+    ``last``.  ``close()`` flushes everything; a failure in the worker is
+    re-raised there (and on the next ``submit``) so training does not
+    silently lose its checkpoints.  Trade-off vs synchronous saves: on a
+    crash, record.csv may be one epoch ahead of what is on disk.
+    """
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._pending: dict[str, tuple[Any, float]] = {}
+        self._wake = threading.Event()
+        self._stop = False
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, path: str, state: TrainState, best_total_loss: float) -> None:
+        if self._error is not None:
+            raise self._error
+        with self._lock:
+            self._pending[path] = (state, best_total_loss)
+        self._wake.set()
+
+    def _run(self) -> None:
+        while True:
+            self._wake.wait()
+            with self._lock:
+                if not self._pending:
+                    if self._stop:
+                        return
+                    self._wake.clear()
+                    continue
+                path, (state, best) = next(iter(self._pending.items()))
+                del self._pending[path]
+                # Batch queued saves of the SAME state (best + last of one
+                # epoch): one device fetch serves all of them.
+                also = [
+                    p for p, (s, _) in self._pending.items() if s is state
+                ]
+                for p in also:
+                    del self._pending[p]
+            try:
+                tree = ckpt.fetch_checkpoint_tree(state, best)
+                for p in [path, *also]:
+                    ckpt.save_checkpoint_tree(p, tree)
+            except BaseException as e:  # surfaced on submit/close
+                self._error = e
+                return
+
+    def close(self) -> None:
+        self._stop = True
+        self._wake.set()
+        self._thread.join()
+        if self._error is not None:
+            raise self._error
+
+
 def fit(
     config: Config,
     state: TrainState,
@@ -93,6 +159,7 @@ def fit(
     rng = jax.random.PRNGKey(seed)
     start_time = time.time()
     train_step_count = int(state.step)
+    saver = AsyncSaver()
 
     for epoch in range(n_epochs):
         if verbose:
@@ -180,16 +247,18 @@ def fit(
             best_total_loss = watch
         else:
             row["model_improvement"] = None
-        # ONE device fetch serves both checkpoints - params + opt state
-        # dominate host<->device traffic on the tunneled backend.
-        host_tree = ckpt.fetch_checkpoint_tree(state, best_total_loss)
+        # Async saves: the device fetch (the bulk of an epoch's
+        # host<->device traffic) overlaps the next epoch; best + last of
+        # one epoch share a single fetch (AsyncSaver batches same-state
+        # submissions).
         if improved:
-            ckpt.save_checkpoint_tree(os.path.join(model_path, "ckpt_best"), host_tree)
-        ckpt.save_checkpoint_tree(os.path.join(model_path, "ckpt_last"), host_tree)
+            saver.submit(os.path.join(model_path, "ckpt_best"), state, best_total_loss)
+        saver.submit(os.path.join(model_path, "ckpt_last"), state, best_total_loss)
 
         record = pd.concat([record, pd.DataFrame([row])], ignore_index=True)
         record.to_csv(record_path, index=False)
 
+    saver.close()  # flush pending checkpoint writes
     metrics_log.close()
     save_training_plots(record, os.path.join(model_path, "viz"))
     try:

@@ -183,3 +183,50 @@ def test_dashboard_generation(tmp_path, setup):
         d = _json.loads(_html.unescape(payload))
         for s in d["series"]:
             assert len(s["ys"]) == len(d["xvals"])
+
+
+def test_async_saver_coalesces_and_batches(tmp_path, setup, monkeypatch):
+    """Same-state submissions share one device fetch; queued saves for a
+    path are replaced by newer ones; close() flushes and re-raises worker
+    errors."""
+    import time as _time
+
+    from radnet_tpu.engine.loop import AsyncSaver
+
+    cfg, model, state, *_ = setup
+    fetches = []
+    orig_fetch = ckpt.fetch_checkpoint_tree
+
+    def counting_fetch(s, best):
+        fetches.append(best)
+        _time.sleep(0.05)  # widen the coalescing window
+        return orig_fetch(s, best)
+
+    monkeypatch.setattr(ckpt, "fetch_checkpoint_tree", counting_fetch)
+
+    saver = AsyncSaver()
+    best_p = str(tmp_path / "best")
+    last_p = str(tmp_path / "last")
+    saver.submit(best_p, state, 1.0)
+    saver.submit(last_p, state, 1.0)  # same state -> batched with best
+    saver.close()
+    assert os.path.isdir(best_p) and os.path.isdir(last_p)
+    assert len(fetches) <= 2  # 1 when batched; 2 if the worker won the race
+
+    restored, best = ckpt.restore_checkpoint(last_p, state)
+    assert best == 1.0
+
+
+def test_async_saver_propagates_errors(tmp_path, setup, monkeypatch):
+    from radnet_tpu.engine.loop import AsyncSaver
+
+    cfg, model, state, *_ = setup
+
+    def boom(*a, **k):
+        raise RuntimeError("disk on fire")
+
+    monkeypatch.setattr(ckpt, "fetch_checkpoint_tree", boom)
+    saver = AsyncSaver()
+    saver.submit(str(tmp_path / "x"), state, 0.0)
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        saver.close()
