@@ -149,6 +149,11 @@ class Config:
     cross_type_nms_thresh: float = 0.4  # cross-image-type merge (RADNet.py:698)
     bbox_threshold: float = 0.7  # detector score cut (RADNet.py:36)
     max_detections_per_tile: int = 64  # per-class post-NMS budget per tile
+    # Serving-latency knob: run the RoI head on only the top-K surviving
+    # proposals per tile (score order; ~87% of cascade FLOPs live in the
+    # head).  Bit-identical to the full cascade when a tile has <= K
+    # surviving proposals.  None = reference parity (all post_nms_top_n).
+    max_head_rois: int | None = None
     infer_tile_batch: int = 8  # tiles per compiled inference call
     # Slice+resize tiles on device from a panel shipped to HBM once
     # (False: host-side cv2 tiling with async per-batch shipping).

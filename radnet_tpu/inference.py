@@ -247,9 +247,21 @@ class RADNet:
             anchors_xywh=feat_anchors,
         )
 
+        # Optional head budget: proposals leave NMS score-descending, so
+        # truncating to the top max_head_rois is bit-identical to the full
+        # cascade whenever a tile has that many or fewer surviving
+        # proposals, and degrades to top-K-by-objectness otherwise.  The
+        # RoI head carries ~87% of cascade FLOPs at 300 RoIs/tile
+        # (scripts/profile_cascade.py), so sparse-scene serving can halve
+        # latency here.  None = reference parity (all post_nms_top_n).
+        prop_boxes, prop_valid = props.boxes, props.valid
+        if cfg.max_head_rois and cfg.max_head_rois < prop_boxes.shape[1]:
+            prop_boxes = prop_boxes[:, : cfg.max_head_rois]
+            prop_valid = prop_valid[:, : cfg.max_head_rois]
+
         # xyxy -> xywh (RADNet.py:564-565); all proposals through the RoI
         # head at once (the reference chunks into groups of 20, :109-124).
-        x1, y1, x2, y2 = (props.boxes[..., i] for i in range(4))
+        x1, y1, x2, y2 = (prop_boxes[..., i] for i in range(4))
         rois = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
         det_cls, det_regr = self.model.apply(
             variables, fmap, rois, method=FasterRCNN.roi_heads, deterministic=True
@@ -259,7 +271,7 @@ class RADNet:
         n_fg = cfg.n_classes - 1
         best_prob = jnp.max(det_cls, axis=-1)  # (T, R)
         best_cls = jnp.argmax(det_cls, axis=-1)  # (T, R)
-        keep = props.valid & (best_prob >= self.bbox_threshold) & (best_cls != cfg.bg_class_id)
+        keep = prop_valid & (best_prob >= self.bbox_threshold) & (best_cls != cfg.bg_class_id)
 
         # Class-specific regression decode, std un-scaled (RADNet.py:140-147).
         t, r = det_regr.shape[:2]

@@ -212,3 +212,42 @@ def test_predict_region_proposals(radnet):
     assert isinstance(props, list)
     for p in props[:5]:
         assert p["class"] == "object" and p["prob"] == 1.0
+
+
+def test_max_head_rois_truncation():
+    """With max_head_rois >= the surviving proposal count the cascade is
+    bit-identical to the full one; with a tiny budget it still returns a
+    subset drawn from the top-scoring proposals."""
+    from radnet_tpu.models.detector import build_model as _build
+
+    cfg = tiny_config("vgg16")
+    cfg.bbox_threshold = 0.0
+    model = _build(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+
+    t = cfg.infer_tile_batch
+    imgs = np.random.default_rng(3).normal(0, 1, (t, 64, 64, 3)).astype(np.float32)
+    wh = np.full((t, 2), 60.0, np.float32)
+
+    full = RADNet(cfg, model, state.params, state.batch_stats)
+    b0, s0, v0 = jax.device_get(full._predict_tiles(imgs, wh))
+
+    import dataclasses as _dc
+
+    cfg_eq = _dc.replace(cfg, max_head_rois=cfg.post_nms_top_n)
+    eq = RADNet(cfg_eq, model, state.params, state.batch_stats)
+    b1, s1, v1 = jax.device_get(eq._predict_tiles(imgs, wh))
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_allclose(b0[v0], b1[v1], rtol=0, atol=0)
+    np.testing.assert_allclose(s0[v0], s1[v1], rtol=0, atol=0)
+
+    cfg_small = _dc.replace(cfg, max_head_rois=2)
+    small = RADNet(cfg_small, model, state.params, state.batch_stats)
+    b2, s2, v2 = jax.device_get(small._predict_tiles(imgs, wh))
+    # at most K=2 RoIs enter the head, so each tile can emit at most 2
+    # detections across all classes
+    per_tile = v2.reshape(v2.shape[0], -1).sum(axis=1)
+    assert (per_tile <= 2).all()
+    if v2.any():
+        b = b2[v2]
+        assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
