@@ -156,3 +156,27 @@ def test_train_cont_and_predict(workspace, monkeypatch):
     )
     assert rc == 0
     assert os.listdir(os.path.join(model_dir, "test_rpn"))
+
+    # Long-lived serving worker: stream two panels through stdin->stdout.
+    import io
+    import sys as _sys
+
+    from radnet_tpu.cli.serve import main as serve_main
+
+    panel_path = os.path.join("data", cfg.img_types[0], "train", "train_0.png")
+    out_json = "served_0.json"
+    monkeypatch.setattr(
+        _sys, "stdin", io.StringIO(f"{panel_path}\t{out_json}\nmissing.png\n")
+    )
+    captured = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", captured)
+    rc = serve_main(
+        ["--models-path", "models", "--model-name", "faster_rcnn_vgg16_smoke"]
+    )
+    _sys.stdout = _sys.__stdout__
+    assert rc == 0
+    lines = [json.loads(l) for l in captured.getvalue().strip().splitlines()]
+    assert lines[0]["path"] == panel_path and "detections" in lines[0]
+    assert "error" in lines[1]  # bad input keeps the worker alive
+    with open(out_json) as f:
+        assert json.load(f)["path"] == panel_path
