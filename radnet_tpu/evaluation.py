@@ -41,7 +41,33 @@ def match_detections(
     appended as (1, 0.0) rows."""
     T: dict[str, list[int]] = {}
     P: dict[str, list[float]] = {}
-    matched = [False] * len(gt)
+    matched = np.zeros(len(gt), dtype=bool)
+
+    # All-pairs IoU in one vectorized pass (same formula/eps/degenerate
+    # handling as box_iou); the greedy scan below then only consults rows.
+    # The reference matches each prediction to the FIRST unmatched
+    # same-class GT in list order, not the best-IoU one (test.py:69-101) -
+    # preserved via the first-True index.
+    if pred and gt:
+        pb = np.array([[p["x1"], p["y1"], p["x2"], p["y2"]] for p in pred], float)
+        gb = np.array([[g["x1"], g["y1"], g["x2"], g["y2"]] for g in gt], float)
+        iw = np.minimum(pb[:, None, 2], gb[None, :, 2]) - np.maximum(
+            pb[:, None, 0], gb[None, :, 0]
+        )
+        ih = np.minimum(pb[:, None, 3], gb[None, :, 3]) - np.maximum(
+            pb[:, None, 1], gb[None, :, 1]
+        )
+        inter = np.where((iw < 0) | (ih < 0), 0.0, iw * ih)
+        area_p = (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1])
+        area_g = (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1])
+        iou_all = inter / (area_p[:, None] + area_g[None, :] - inter + 1e-6)
+        degenerate = ((pb[:, 0] >= pb[:, 2]) | (pb[:, 1] >= pb[:, 3]))[:, None] | (
+            (gb[:, 0] >= gb[:, 2]) | (gb[:, 1] >= gb[:, 3])
+        )[None, :]
+        iou_all = np.where(degenerate, 0.0, iou_all)
+    else:
+        iou_all = np.zeros((len(pred), len(gt)))
+    gt_cls = np.array([g["class"] for g in gt], dtype=object)
 
     order = np.argsort([-p["prob"] for p in pred])
     for idx in order:
@@ -50,18 +76,10 @@ def match_detections(
         T.setdefault(cls, [])
         P.setdefault(cls, [])
         P[cls].append(p["prob"])
-        found = False
-        for gi, g in enumerate(gt):
-            if matched[gi] or g["class"] != cls:
-                continue
-            iou = box_iou(
-                (p["x1"], p["y1"], p["x2"], p["y2"]),
-                (g["x1"], g["y1"], g["x2"], g["y2"]),
-            )
-            if iou >= iou_threshold:
-                matched[gi] = True
-                found = True
-                break
+        cand = (~matched) & (gt_cls == cls) & (iou_all[idx] >= iou_threshold)
+        found = bool(cand.any())
+        if found:
+            matched[int(np.argmax(cand))] = True
         T[cls].append(int(found))
 
     for gi, g in enumerate(gt):
