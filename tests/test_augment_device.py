@@ -209,3 +209,19 @@ def test_host_pipeline_skips_photometric_when_flag_on(monkeypatch):
     for _ in range(20):
         aug.augment(data, img, cfg_off, do_augment=True, rng=rng)
     assert "b" in calls or "n" in calls
+
+
+def test_color_path_background_per_channel():
+    """Non-grey images: noise applies to all channels with per-element
+    zero-background preservation (augmentation.py:254-257 pattern)."""
+    rng = np.random.default_rng(7)
+    imgs = np.zeros((1, 32, 32, 3), np.uint8)
+    imgs[0, :16, :16] = rng.integers(40, 200, (16, 16, 3), np.uint8)
+    imgs[0, 5, 5] = (0, 100, 200)  # a pixel with a zero in one channel only
+    bg = imgs == 0
+    for seed in range(6):
+        out = np.asarray(
+            photometric_augment(imgs, jax.random.PRNGKey(seed), grey=False)
+        )
+        assert (out[bg] == 0).all(), seed
+        assert out.shape == imgs.shape
