@@ -98,10 +98,15 @@ def prescale_for_augment(
     boxes = []
     for b in meta["bboxes"]:
         nb = dict(b)
-        nb["x1"] = int(b["x1"] * sx)
-        nb["y1"] = int(b["y1"] * sy)
-        nb["x2"] = min(int(np.ceil(b["x2"] * sx)), new_w)
-        nb["y2"] = min(int(np.ceil(b["y2"] * sy)), new_h)
+        # Float coords: int floor/ceil here would inflate small boxes by
+        # up to 2 px at canvas scale (~17% of a 12 px figure).  The
+        # geometric ops handle floats (flip/rot90 arithmetic is exact;
+        # the warp ops quantize via _write_back exactly like the
+        # reference does at its own scale), and make_sample keeps floats.
+        nb["x1"] = b["x1"] * sx
+        nb["y1"] = b["y1"] * sy
+        nb["x2"] = min(b["x2"] * sx, float(new_w))
+        nb["y2"] = min(b["y2"] * sy, float(new_h))
         if nb["x2"] > nb["x1"] and nb["y2"] > nb["y1"]:
             boxes.append(nb)
     meta = dict(meta)
