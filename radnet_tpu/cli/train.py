@@ -23,6 +23,7 @@ from radnet_tpu.config import Config
 from radnet_tpu.data.dataset import get_data
 from radnet_tpu.data.pipeline import (
     batched,
+    make_device_preparer,
     parallel_sample_generator,
     prefetch_to_device,
     tile_sample_generator,
@@ -163,15 +164,20 @@ def main(argv=None) -> int:
         num_workers=args.num_workers, seed=args.seed,
     )
     train_batches = prefetch_to_device(
-        batched(train_samples, config.batch_size, config, drop_remainder=True)
+        batched(train_samples, config.batch_size, config, drop_remainder=True),
+        prepare=make_device_preparer(config, seed=args.seed, train=True),
     )
+
+    val_prepare = make_device_preparer(config, train=False)
 
     def val_factory():
         samples = tile_sample_generator(
             data_val, config, class_count, config.class_mapping,
             train_mode=False, seed=args.seed,
         )
-        return prefetch_to_device(batched(samples, config.batch_size, config))
+        return prefetch_to_device(
+            batched(samples, config.batch_size, config), prepare=val_prepare
+        )
 
     state, record = fit(
         config,

@@ -452,13 +452,66 @@ def parallel_sample_generator(
         stop.set()
 
 
+def make_device_preparer(config: Config, seed: int = 0, train: bool = True):
+    """On-device batch finisher to run inside the prefetch thread.
+
+    Applies the photometric augmentation (train mode, when
+    ``augment_photometric_on_device``) and the uint8 -> mean-centered
+    float conversion as one small jitted program *before* the batch
+    reaches the train step.  Two wins on TPU: the work overlaps the
+    previous step's compute (the prefetch thread dispatches it), and the
+    train step's entry layout becomes float - feeding uint8 straight into
+    the big step costs a measured ~24 ms/step in entry-layout conversion
+    vs ~4 ms for this standalone pass.  The in-step path
+    (engine/steps.py) remains as the fallback for raw uint8 batches, and
+    skips itself on the float batches this produces (dtype guard).
+    """
+    base_key = jax.random.PRNGKey(seed)
+    grey = "grey" in config.img_types[0]
+    do_aug = bool(
+        train
+        and config.augment_photometric_on_device
+        and (config.use_brightness or config.use_noise)
+    )
+    use_b, use_n = config.use_brightness, config.use_noise
+
+    @jax.jit
+    def _finish(images, key):
+        import jax.numpy as jnp
+
+        if do_aug:
+            from radnet_tpu.ops.augment_device import photometric_augment
+
+            images = photometric_augment(
+                images, key, grey=grey, use_brightness=use_b, use_noise=use_n
+            )  # float32, 0..255
+        return images.astype(jnp.float32) - jnp.asarray(IMAGENET_BGR_MEAN)
+
+    counter = [0]
+
+    def prepare(batch):
+        img = batch["image"]
+        if img.dtype != np.uint8:
+            return batch
+        key = jax.random.fold_in(base_key, counter[0])
+        counter[0] += 1
+        out = dict(batch)
+        out["image"] = _finish(img, key)
+        return out
+
+    return prepare
+
+
 def prefetch_to_device(
     batch_iter: Iterator[dict[str, np.ndarray]],
     size: int = 2,
     sharding=None,
+    prepare=None,
 ) -> Iterator[Any]:
     """Background-thread prefetch of host batches onto the device (or a
-    sharded layout when ``sharding`` is given)."""
+    sharded layout when ``sharding`` is given).  ``prepare``: optional
+    device-side finisher (see :func:`make_device_preparer`) dispatched
+    from the producer thread so it overlaps the consumer's compute."""
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
     error: list[BaseException] = []
@@ -470,6 +523,8 @@ def prefetch_to_device(
                     batch = jax.device_put(batch, sharding)
                 else:
                     batch = jax.device_put(batch)
+                if prepare is not None:
+                    batch = prepare(batch)
                 q.put(batch)
         except BaseException as e:  # re-raised on the consumer side
             error.append(e)

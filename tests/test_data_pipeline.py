@@ -407,3 +407,41 @@ def test_decoded_image_cache(tmp_path, monkeypatch):
 
     dataset._decoded_cache.clear()
     dataset._decoded_cache_bytes = 0
+
+
+def test_make_device_preparer():
+    """The prefetch-thread finisher converts uint8 batches to mean-centered
+    float (so the train step pays no entry-layout cost and skips its
+    in-step augmentation), leaves float batches alone, and draws fresh
+    augmentation keys per batch."""
+    import jax.numpy as jnp
+
+    from radnet_tpu.config import Config
+    from radnet_tpu.data.pipeline import IMAGENET_BGR_MEAN, make_device_preparer
+
+    cfg = Config(img_size=60, canvas_size=64)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    batch = {"image": jnp.asarray(img), "other": np.zeros(2)}
+
+    # eval mode: pure preprocessing, exact mean-centering
+    prep_eval = make_device_preparer(cfg, train=False)
+    out = prep_eval(batch)
+    np.testing.assert_allclose(
+        np.asarray(out["image"]),
+        img.astype(np.float32) - IMAGENET_BGR_MEAN,
+        atol=1e-5,
+    )
+
+    # train mode: augmentation applied with per-batch keys -> two calls on
+    # the same input give different images (noise fires at p=0.5 per
+    # sample; 2 batches x 2 samples make a no-op run vanishingly unlikely)
+    prep_train = make_device_preparer(cfg, seed=0, train=True)
+    a = np.asarray(prep_train(batch)["image"])
+    b = np.asarray(prep_train(batch)["image"])
+    assert a.dtype == np.float32
+    assert (a != b).any()
+
+    # float batches pass through untouched
+    fbatch = {"image": jnp.asarray(img.astype(np.float32))}
+    assert prep_train(fbatch) is fbatch
