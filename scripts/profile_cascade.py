@@ -26,13 +26,25 @@ DEFAULT_PEAK = 197e12
 
 
 def timed(fn, args, iters=8):
+    """NOTE (CLAUDE.md pitfall #3): on the tunneled backend the executor
+    memoizes identical calls and block_until_ready can return early, so
+    stage times here are best-effort lower bounds; cross-check against
+    fetch-inclusive end-to-end numbers (bench.py).  Inputs are perturbed
+    per iteration to at least defeat the memoizer."""
     import jax
+    import jax.numpy as jnp
 
     out = fn(*args)
     jax.block_until_ready(out)
+
+    def perturb(a, i):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 3:
+            return a + jnp.asarray(i, a.dtype)
+        return a
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    for i in range(iters):
+        out = fn(*[perturb(a, i) for a in args])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters, out
 

@@ -25,13 +25,27 @@ PEAK = 197e12  # v5e bf16
 
 
 def timed(fn, args, iters=10):
+    """See CLAUDE.md pitfall #3: stage timings through the tunnel are
+    best-effort (the FULL train step threads state and is trustworthy;
+    stateless stages can under-report).  Inputs perturb per iteration to
+    defeat the executor's identical-call memoizer."""
     import jax
+    import jax.numpy as jnp
 
     out = fn(*args)
     jax.block_until_ready(out)
+
+    def perturb(a, i):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 3:
+            return a + jnp.asarray(i, a.dtype)
+        return a
+
+    def perturb_tree(t, i):
+        return jax.tree_util.tree_map(lambda a: perturb(a, i), t)
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    for i in range(iters):
+        out = fn(*[perturb_tree(a, i) for a in args])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -147,11 +161,22 @@ def main() -> int:
         ("trunk fwd", stage_trunk, (variables, batch["image"])),
         ("loss fwd (all)", stage_loss_fwd,
          (state.params, state.batch_stats, batch, key, anchors)),
-        ("FULL train step", full, (state, batch, key)),
     ):
         dt = timed(fn, fargs)
-        fl = flops_of(fn, fargs) if fn is not full else float("nan")
+        fl = flops_of(fn, fargs)
         rows.append((name, dt, fl))
+
+    # FULL step: thread the state (and split the key) through the loop -
+    # the only timing pattern the tunneled backend cannot fake.
+    st, _ = full(state, batch, key)
+    jax.block_until_ready(st.params)
+    k = key
+    t0 = time.perf_counter()
+    for _ in range(10):
+        k, sub = jax.random.split(k)
+        st, _ = full(st, batch, sub)
+    jax.block_until_ready(st.params)
+    rows.append(("FULL train step", (time.perf_counter() - t0) / 10, float("nan")))
 
     dev = jax.devices()[0]
     print(f"\ndevice={dev} batch={b} @{s}^2 {config.network} "
