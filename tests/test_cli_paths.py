@@ -32,3 +32,19 @@ def test_silly_name_gen_local_and_deterministic():
     a = silly_name_gen(random.Random(7))
     b = silly_name_gen(random.Random(7))
     assert a == b and "_" in a
+
+
+def test_root_wrappers_import_their_cli_main():
+    """Every root entry-point wrapper resolves to its radnet_tpu.cli main."""
+    import importlib.util
+    import re
+
+    root = Path(__file__).resolve().parent.parent
+    for name in ("train", "cont_train", "test", "predict",
+                 "test_data", "test_rpn", "serve"):
+        src = (root / f"{name}.py").read_text()
+        m = re.search(r"from radnet_tpu\.cli\.(\w+) import main", src)
+        assert m, name
+        assert m.group(1) == name
+        mod = importlib.import_module(f"radnet_tpu.cli.{name}")
+        assert callable(mod.main), name
