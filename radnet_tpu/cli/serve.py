@@ -18,6 +18,14 @@ Protocol (newline-delimited, stdin -> stdout):
 
 A blank line or EOF ends the session; ``READY`` is printed to stderr once
 the model is loaded (harness hooks: wait for it before feeding panels).
+Results are printed in input order.
+
+Steady-state throughput is pipelined two ways: a reader thread decodes
+panel k+1 while panel k is in flight, and the main loop dispatches panel
+k+1's tile batches (grey-detect, cv2 prescale, canvas prep - the host
+side of the cascade) to the device BEFORE collecting panel k's results,
+so host prep and device compute overlap across consecutive panels (the
+same overlap ``RADNet.predict_dispatch`` exploits within one call).
 
 Example:
   printf '%s\n' panel1.png panel2.png | \
@@ -77,34 +85,87 @@ def main(argv=None) -> int:
     if args.warmup_size:
         s = args.warmup_size
         warm = np.zeros((s, s, 3), np.uint8)
-        radnet.predict([warm] * max(1, len(radnet.C.img_types)))
+        radnet.predict([warm])
 
     print("READY", file=sys.stderr, flush=True)
 
-    for line in sys.stdin:
-        line = line.rstrip("\n")
-        if not line:
-            break
-        path, _, out_file = line.partition("\t")
-        t0 = time.time()
+    # Reader thread: decode panel k+1 off the main thread while panel k is
+    # in flight (cv2.imdecode of a giga-pixel PNG is 50-100+ ms of pure
+    # host work that would otherwise sit on the serving critical path).
+    import queue
+    import threading
+
+    inbox: queue.Queue = queue.Queue(maxsize=1)
+    _EOF = object()
+
+    def reader() -> None:
+        for line in sys.stdin:
+            line = line.rstrip("\n")
+            if not line:
+                break
+            path, _, out_file = line.partition("\t")
+            t0 = time.time()
+            try:
+                img = cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR)
+                if img is None:
+                    raise FileNotFoundError(path)
+                inbox.put((path, out_file, t0, img, None))
+            except Exception as e:  # keep serving on bad inputs
+                inbox.put((path, out_file, t0, None, f"{type(e).__name__}: {e}"))
+        inbox.put(_EOF)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    def emit(result: dict, out_file: str) -> None:
+        if out_file:
+            with open(out_file, "w") as f:
+                json.dump(result, f, indent=2)
+        print(json.dumps(result), flush=True)
+
+    # One panel stays outstanding: dispatch k+1 (host prescale + canvas
+    # prep run now, device batches queue behind k's) before collecting k.
+    outstanding = None  # (path, out_file, t0, pending)
+
+    def collect_outstanding() -> None:
+        nonlocal outstanding
+        if outstanding is None:
+            return
+        path, out_file, t0, pending = outstanding
+        outstanding = None
         try:
-            img = cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR)
-            if img is None:
-                raise FileNotFoundError(path)
-            # One panel per image type slot, like predict_from_path when a
-            # single file stands in for every type (predict.py:86-95).
-            dets = radnet.predict([img] * max(1, len(radnet.C.img_types)))
+            dets = radnet.predict_collect(pending)
             result = {
                 "path": path,
                 "detections": detections_to_json(dets),
                 "sec": round(time.time() - t0, 3),
             }
-        except Exception as e:  # keep serving on bad inputs
+        except Exception as e:
             result = {"path": path, "error": f"{type(e).__name__}: {e}"}
-        if out_file:
-            with open(out_file, "w") as f:
-                json.dump(result, f, indent=2)
-        print(json.dumps(result), flush=True)
+        emit(result, out_file)
+
+    while True:
+        item = inbox.get()
+        if item is _EOF:
+            collect_outstanding()
+            break
+        path, out_file, t0, img, err = item
+        if err is not None:
+            collect_outstanding()  # preserve output order
+            emit({"path": path, "error": err}, out_file)
+            continue
+        try:
+            # The panel stands in for every configured image type
+            # (predict.py:86-95); predicting it once is output-identical
+            # to replicating it per type (the cross-type NMS merge of
+            # identical detection sets is a dedup no-op) at 1/n_types the
+            # cost.
+            pending = radnet.predict_dispatch([img])
+        except Exception as e:
+            collect_outstanding()
+            emit({"path": path, "error": f"{type(e).__name__}: {e}"}, out_file)
+            continue
+        collect_outstanding()
+        outstanding = (path, out_file, t0, pending)
     return 0
 
 

@@ -89,10 +89,16 @@ def _decoded_cache_get(path: str):
 def _decoded_cache_put(path: str, img: np.ndarray) -> None:
     global _decoded_cache_bytes
     budget = DECODED_CACHE_MB * 1024 * 1024
-    if img.nbytes > budget or path in _decoded_cache:
+    if img.nbytes > budget:
         return
     img.setflags(write=False)
     with _decoded_cache_lock:
+        # Membership must be checked under the lock: two workers decoding
+        # the same panel concurrently would otherwise both insert, and the
+        # overwritten entry's nbytes would never be decremented.
+        prev = _decoded_cache.pop(path, None)
+        if prev is not None:
+            _decoded_cache_bytes -= prev.nbytes
         while _decoded_cache and _decoded_cache_bytes + img.nbytes > budget:
             _, evicted = _decoded_cache.popitem(last=False)
             _decoded_cache_bytes -= evicted.nbytes

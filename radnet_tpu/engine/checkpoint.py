@@ -56,6 +56,16 @@ def save_checkpoint_tree(path: str, tree: dict[str, Any]) -> None:
     path = os.path.abspath(path)
     new_path = path + ".new"
     old_path = path + ".old"
+    # A ``.new`` that coexists with ``.old`` (and no ``path``) is the
+    # newest COMPLETE checkpoint - the ``path`` -> ``.old`` rename only
+    # happens after the save into ``.new`` returned - so finish the
+    # interrupted swap instead of discarding it as stale.
+    if (
+        os.path.isdir(new_path)
+        and os.path.isdir(old_path)
+        and not os.path.exists(path)
+    ):
+        os.rename(new_path, path)
     for stale in (new_path, old_path):
         if os.path.exists(stale):
             import shutil
@@ -80,11 +90,20 @@ def save_checkpoint(
 
 
 def _resolve_checkpoint_path(path: str) -> str:
-    """Fall back to the ``.old`` sibling if a crash hit the swap window."""
+    """Fall back to a swap-window sibling if a crash hit the swap.
+
+    A ``.new`` coexisting with ``.old`` is guaranteed fully written (the
+    ``path`` -> ``.old`` rename only happens after the save into ``.new``
+    returned) and is newer than ``.old``, so it wins; a lone ``.new``
+    (crash mid-write) is never trusted.
+    """
     if os.path.isdir(path):
         return path
+    new_path = path + ".new"
     old_path = path + ".old"
     if os.path.isdir(old_path):
+        if os.path.isdir(new_path):
+            return new_path
         return old_path
     return path
 

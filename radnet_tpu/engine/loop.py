@@ -161,102 +161,116 @@ def fit(
     train_step_count = int(state.step)
     saver = AsyncSaver()
 
-    for epoch in range(n_epochs):
-        if verbose:
-            print(f"Epoch {epoch + 1}/{n_epochs}")
-        epoch_metrics: list[dict[str, Any]] = []
+    # Any exception out of the epoch loop (prefetch error, failed val
+    # batch, KeyboardInterrupt) must still flush queued ckpt_best/ckpt_last
+    # saves - otherwise the daemon saver dies with the interpreter and
+    # record.csv ends up ahead of what is on disk.  On the happy path
+    # close() re-raises saver errors; on the error path the original
+    # exception wins and a saver failure is only printed.
+    try:
+        for epoch in range(n_epochs):
+            if verbose:
+                print(f"Epoch {epoch + 1}/{n_epochs}")
+            epoch_metrics: list[dict[str, Any]] = []
 
-        for _ in range(epoch_length):
-            batch = next(train_batches)
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = train_step(state, batch, step_rng)
-            epoch_metrics.append(metrics)
-            train_step_count += 1
-
-        # Host sync once per epoch; log per-step scalars.
-        epoch_metrics = jax.device_get(epoch_metrics)
-        for i, m in enumerate(epoch_metrics):
-            metrics_log.write(
-                json.dumps(
-                    {
-                        "step": train_step_count - epoch_length + i,
-                        **{k: float(v) for k, v in m.items()},
-                    }
-                )
-                + "\n"
-            )
-        metrics_log.flush()
-
-        # The best-checkpoint watermark compares UNROUNDED means (rounding
-        # to 3 decimals would quantize away improvements smaller than
-        # ~0.002); record.csv keeps the reference's 3-decimal display.
-        loss_keys = (
-            "loss_rpn_cls",
-            "loss_rpn_regr",
-            "loss_detector_cls",
-            "loss_detector_regr",
-        )
-        curr_total_loss = sum(_mean(epoch_metrics, k) for k in loss_keys)
-        row: dict[str, Any] = {
-            "elapsed_time": round((time.time() - start_time) / 60, 3),
-            "mean_overlapping_bboxes": round(_mean(epoch_metrics, "mean_overlapping_bboxes"), 3),
-            **{k: round(_mean(epoch_metrics, k), 3) for k in loss_keys},
-            "detector_acc": round(_mean(epoch_metrics, "detector_acc"), 3),
-        }
-        row["total_loss"] = round(curr_total_loss, 3)
-
-        if verbose:
-            print(
-                "(TRAINING) overlap={mean_overlapping_bboxes} rpn_cls={loss_rpn_cls} "
-                "rpn_regr={loss_rpn_regr} det_cls={loss_detector_cls} "
-                "det_regr={loss_detector_regr} acc={detector_acc} total={total_loss}".format(**row)
-            )
-
-        # -------------------------------------------------------------- #
-        # Validation pass (train.py:476-563)
-        # -------------------------------------------------------------- #
-        if eval_step is not None and val_batches_factory is not None:
-            val_metrics: list[dict[str, Any]] = []
-            for batch in val_batches_factory():
+            for _ in range(epoch_length):
+                batch = next(train_batches)
                 rng, step_rng = jax.random.split(rng)
-                val_metrics.append(eval_step(state, batch, step_rng))
-            val_metrics = jax.device_get(val_metrics)
-            val_total = sum(_mean(val_metrics, k) for k in loss_keys)
-            row["val_mean_overlapping_bboxes"] = round(_mean(val_metrics, "mean_overlapping_bboxes"), 3)
-            for k in loss_keys:
-                row[f"val_{k}"] = round(_mean(val_metrics, k), 3)
-            row["val_detector_acc"] = round(_mean(val_metrics, "detector_acc"), 3)
-            row["val_total_loss"] = round(val_total, 3)
-            watch = val_total
-            if verbose:
-                print(f"(VALIDATION) total={val_total:.3f} best={best_total_loss:.3f}")
-        else:
-            for c in RECORD_COLUMNS:
-                if c.startswith("val_"):
-                    row[c] = None
-            watch = curr_total_loss
+                state, metrics = train_step(state, batch, step_rng)
+                epoch_metrics.append(metrics)
+                train_step_count += 1
 
-        # -------------------------------------------------------------- #
-        # Best checkpoint on watched loss (train.py:565-599).
-        # -------------------------------------------------------------- #
-        improved = watch < best_total_loss
-        if improved:
-            row["model_improvement"] = watch - best_total_loss
-            if verbose:
-                print(f"Total loss decreased from {best_total_loss} to {watch}, saving weights")
-            best_total_loss = watch
-        else:
-            row["model_improvement"] = None
-        # Async saves: the device fetch (the bulk of an epoch's
-        # host<->device traffic) overlaps the next epoch; best + last of
-        # one epoch share a single fetch (AsyncSaver batches same-state
-        # submissions).
-        if improved:
-            saver.submit(os.path.join(model_path, "ckpt_best"), state, best_total_loss)
-        saver.submit(os.path.join(model_path, "ckpt_last"), state, best_total_loss)
+            # Host sync once per epoch; log per-step scalars.
+            epoch_metrics = jax.device_get(epoch_metrics)
+            for i, m in enumerate(epoch_metrics):
+                metrics_log.write(
+                    json.dumps(
+                        {
+                            "step": train_step_count - epoch_length + i,
+                            **{k: float(v) for k, v in m.items()},
+                        }
+                    )
+                    + "\n"
+                )
+            metrics_log.flush()
 
-        record = pd.concat([record, pd.DataFrame([row])], ignore_index=True)
-        record.to_csv(record_path, index=False)
+            # The best-checkpoint watermark compares UNROUNDED means (rounding
+            # to 3 decimals would quantize away improvements smaller than
+            # ~0.002); record.csv keeps the reference's 3-decimal display.
+            loss_keys = (
+                "loss_rpn_cls",
+                "loss_rpn_regr",
+                "loss_detector_cls",
+                "loss_detector_regr",
+            )
+            curr_total_loss = sum(_mean(epoch_metrics, k) for k in loss_keys)
+            row: dict[str, Any] = {
+                "elapsed_time": round((time.time() - start_time) / 60, 3),
+                "mean_overlapping_bboxes": round(_mean(epoch_metrics, "mean_overlapping_bboxes"), 3),
+                **{k: round(_mean(epoch_metrics, k), 3) for k in loss_keys},
+                "detector_acc": round(_mean(epoch_metrics, "detector_acc"), 3),
+            }
+            row["total_loss"] = round(curr_total_loss, 3)
+
+            if verbose:
+                print(
+                    "(TRAINING) overlap={mean_overlapping_bboxes} rpn_cls={loss_rpn_cls} "
+                    "rpn_regr={loss_rpn_regr} det_cls={loss_detector_cls} "
+                    "det_regr={loss_detector_regr} acc={detector_acc} total={total_loss}".format(**row)
+                )
+
+            # -------------------------------------------------------------- #
+            # Validation pass (train.py:476-563)
+            # -------------------------------------------------------------- #
+            if eval_step is not None and val_batches_factory is not None:
+                val_metrics: list[dict[str, Any]] = []
+                for batch in val_batches_factory():
+                    rng, step_rng = jax.random.split(rng)
+                    val_metrics.append(eval_step(state, batch, step_rng))
+                val_metrics = jax.device_get(val_metrics)
+                val_total = sum(_mean(val_metrics, k) for k in loss_keys)
+                row["val_mean_overlapping_bboxes"] = round(_mean(val_metrics, "mean_overlapping_bboxes"), 3)
+                for k in loss_keys:
+                    row[f"val_{k}"] = round(_mean(val_metrics, k), 3)
+                row["val_detector_acc"] = round(_mean(val_metrics, "detector_acc"), 3)
+                row["val_total_loss"] = round(val_total, 3)
+                watch = val_total
+                if verbose:
+                    print(f"(VALIDATION) total={val_total:.3f} best={best_total_loss:.3f}")
+            else:
+                for c in RECORD_COLUMNS:
+                    if c.startswith("val_"):
+                        row[c] = None
+                watch = curr_total_loss
+
+            # -------------------------------------------------------------- #
+            # Best checkpoint on watched loss (train.py:565-599).
+            # -------------------------------------------------------------- #
+            improved = watch < best_total_loss
+            if improved:
+                row["model_improvement"] = watch - best_total_loss
+                if verbose:
+                    print(f"Total loss decreased from {best_total_loss} to {watch}, saving weights")
+                best_total_loss = watch
+            else:
+                row["model_improvement"] = None
+            # Async saves: the device fetch (the bulk of an epoch's
+            # host<->device traffic) overlaps the next epoch; best + last of
+            # one epoch share a single fetch (AsyncSaver batches same-state
+            # submissions).
+            if improved:
+                saver.submit(os.path.join(model_path, "ckpt_best"), state, best_total_loss)
+            saver.submit(os.path.join(model_path, "ckpt_last"), state, best_total_loss)
+
+            record = pd.concat([record, pd.DataFrame([row])], ignore_index=True)
+            record.to_csv(record_path, index=False)
+    except BaseException:
+        try:
+            saver.close()  # best-effort flush of queued checkpoint saves
+        except BaseException as save_err:
+            print(f"checkpoint flush during shutdown failed: {save_err!r}")
+        metrics_log.close()
+        raise
 
     saver.close()  # flush pending checkpoint writes
     metrics_log.close()

@@ -331,15 +331,20 @@ class RADNet:
 
     def predict(self, images: Sequence[np.ndarray]) -> list[dict[str, Any]]:
         """Full multi-tile, multi-image-type prediction (RADNet.py:502-718)."""
-        cfg = self.C
-        all_bbox: dict[str, list] = {}
-        all_probs: dict[str, list] = {}
+        return self.predict_collect(self.predict_dispatch(images))
 
-        # Dispatch ALL images' tile batches before draining any: jax
-        # execution is async, so host-side prep of image k+1 (grey detect,
-        # cv2 prescale, canvas building) overlaps device compute of image k
-        # - the multi-image-type cascade (RADNet.py:502-506 runs the whole
-        # pipeline once per type) pipelines instead of serializing.
+    def predict_dispatch(self, images: Sequence[np.ndarray]) -> list[list]:
+        """Dispatch every image's tile batches to the device (async).
+
+        Dispatch ALL images' tile batches before draining any: jax
+        execution is async, so host-side prep of image k+1 (grey detect,
+        cv2 prescale, canvas building) overlaps device compute of image k
+        - the multi-image-type cascade (RADNet.py:502-506 runs the whole
+        pipeline once per type) pipelines instead of serializing.  The same
+        split lets a serving loop dispatch panel k+1 before collecting
+        panel k (see cli/serve.py).
+        """
+        cfg = self.C
         per_image_pending = []
         for img in images:
             pending: list = []
@@ -355,6 +360,13 @@ class RADNet:
                 )
                 self._dispatch_tiles(img, full_tile, pending)
             per_image_pending.append(pending)
+        return per_image_pending
+
+    def predict_collect(self, per_image_pending: list[list]) -> list[dict[str, Any]]:
+        """Drain dispatched tile batches and run the host-side merges."""
+        cfg = self.C
+        all_bbox: dict[str, list] = {}
+        all_probs: dict[str, list] = {}
 
         for pending in per_image_pending:
             bbox_total: dict[str, list] = {}

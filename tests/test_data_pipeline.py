@@ -409,6 +409,23 @@ def test_decoded_image_cache(tmp_path, monkeypatch):
     dataset._decoded_cache_bytes = 0
 
 
+def test_decoded_cache_overwrite_keeps_byte_accounting():
+    """Two workers decoding the same panel race to insert; the overwrite
+    must decrement the replaced entry's bytes or the accounted total
+    drifts upward forever, silently shrinking effective capacity."""
+    from radnet_tpu.data import dataset
+
+    dataset._decoded_cache.clear()
+    dataset._decoded_cache_bytes = 0
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = np.zeros((8, 8, 3), np.uint8)
+    dataset._decoded_cache_put("p", a)
+    dataset._decoded_cache_put("p", b)  # concurrent-decode overwrite
+    assert dataset._decoded_cache_bytes == b.nbytes
+    dataset._decoded_cache.clear()
+    dataset._decoded_cache_bytes = 0
+
+
 def test_make_device_preparer():
     """The prefetch-thread finisher converts uint8 batches to mean-centered
     float (so the train step pays no entry-layout cost and skips its

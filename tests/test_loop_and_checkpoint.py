@@ -230,3 +230,72 @@ def test_async_saver_propagates_errors(tmp_path, setup, monkeypatch):
     saver.submit(str(tmp_path / "x"), state, 0.0)
     with pytest.raises(RuntimeError, match="disk on fire"):
         saver.close()
+
+
+def test_checkpoint_swap_window_prefers_complete_new(tmp_path, setup):
+    """Crash exactly between the two swap renames leaves .old AND a fully
+    written .new; the .new is the newest complete checkpoint and must win
+    (both at restore time and when the next save finishes the swap)."""
+    import shutil
+
+    cfg, model, state, step, _ = setup
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, state, best_total_loss=1.0)
+    # Fabricate the mid-swap state: a complete newer save at .new, the
+    # previous checkpoint at .old, nothing at path.
+    ckpt.save_checkpoint(str(tmp_path / "newer"), state, best_total_loss=2.0)
+    os.rename(path, path + ".old")
+    os.rename(str(tmp_path / "newer"), path + ".new")
+
+    template = create_train_state(model, cfg, jax.random.PRNGKey(99))
+    _, best = ckpt.restore_checkpoint(path, template)
+    assert best == 2.0  # .new preferred over .old
+
+    # The next save finishes the interrupted swap instead of discarding
+    # .new as stale, then overwrites crash-safely as usual.
+    ckpt.save_checkpoint(path, state, best_total_loss=0.5)
+    _, best = ckpt.restore_checkpoint(path, template)
+    assert best == 0.5
+    assert not os.path.exists(path + ".new")
+    assert not os.path.exists(path + ".old")
+
+    # A lone .new (crash mid-write, possibly incomplete) is never trusted.
+    ckpt.save_checkpoint(str(tmp_path / "x"), state, best_total_loss=3.0)
+    os.rename(str(tmp_path / "x"), path + ".new")
+    _, best = ckpt.restore_checkpoint(path, template)
+    assert best == 0.5
+    shutil.rmtree(path + ".new")
+    shutil.rmtree(path)
+
+
+def test_fit_flushes_checkpoints_on_error(tmp_path, setup):
+    """An exception out of the epoch loop (prefetch error, KeyboardInterrupt)
+    must still flush the queued ckpt_last before propagating - otherwise the
+    daemon AsyncSaver dies with the interpreter mid-write."""
+    cfg, model, state, train_step, _ = setup
+    model_path = str(tmp_path / "m")
+
+    def failing_batches():
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()}
+        yield batch
+        yield batch  # epoch 1 completes (and submits its checkpoints)
+        raise RuntimeError("prefetch worker died")
+
+    with pytest.raises(RuntimeError, match="prefetch worker died"):
+        fit(
+            cfg,
+            state,
+            train_step,
+            failing_batches(),
+            model_path,
+            epoch_length=2,
+            n_epochs=2,
+            verbose=False,
+        )
+
+    # Epoch 1's ckpt_last survived the crash and is restorable.
+    template = create_train_state(model, cfg, jax.random.PRNGKey(99))
+    restored, _ = ckpt.restore_checkpoint(
+        os.path.join(model_path, "ckpt_last"), template
+    )
+    assert int(restored.step) == 2
