@@ -29,6 +29,43 @@ def enable_compile_cache(path: str | None = None) -> None:
     except Exception:
         pass
 
+def add_mesh_args(p) -> None:
+    """Multi-chip flags shared by every production CLI.
+
+    The reference is strictly single-device (SURVEY.md §2.12); here every
+    driver can run over a ``jax.sharding.Mesh``: batches shard their
+    leading (tile/sample) axis over the ``data`` axis, and the detector
+    head is tensor-sharded over ``model`` (see radnet_tpu/parallel/mesh.py).
+    """
+    p.add_argument(
+        "--n-devices",
+        type=int,
+        default=None,
+        help="run over an n-device jax mesh (data-parallel batches, "
+        "tensor-parallel detector head); default: single device",
+    )
+    p.add_argument(
+        "--model-parallel",
+        type=int,
+        default=1,
+        help="model-axis size of the mesh (n_devices/model_parallel = "
+        "data-parallel size); only meaningful with --n-devices",
+    )
+
+
+def mesh_from_args(args):
+    """Build the (data x model) mesh requested by --n-devices, or None."""
+    n = getattr(args, "n_devices", None)
+    if not n:
+        return None
+    from radnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n, model_parallel=getattr(args, "model_parallel", 1))
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    print(f"Using {n}-device mesh: data={shape['data']} model={shape['model']}")
+    return mesh
+
+
 # Local word pool replacing the reference's HTTP-fetched dictionary
 # (train.py:60-70 downloads a word list from svnweb.freebsd.org at train time -
 # a network failure point designed out here, per SURVEY.md §5.3).

@@ -53,6 +53,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--lr", type=float, default=2e-5)  # cont_train.py:170
     p.add_argument("--fresh-optimizer", action="store_true")
+    from radnet_tpu.cli.common import add_mesh_args
+
+    add_mesh_args(p)
     return p
 
 
@@ -106,6 +109,12 @@ def main(argv=None) -> int:
         if "val_total_loss" in record and record["val_total_loss"].notna().any():
             best = min(best, float(record["val_total_loss"].min()))
 
+    from radnet_tpu.cli.common import mesh_from_args
+    from radnet_tpu.cli.train import shard_for_mesh
+
+    mesh = mesh_from_args(args)
+    state, batch_sh = shard_for_mesh(config, state, mesh)
+
     train_step = make_train_step(
         model, config, trunk_trainable=config.base_net_cont_trainable
     )
@@ -117,6 +126,7 @@ def main(argv=None) -> int:
     )
     train_batches = prefetch_to_device(
         batched(train_samples, config.batch_size, config, drop_remainder=True),
+        sharding=batch_sh,
         prepare=make_device_preparer(config, seed=args.seed, train=True),
     )
 
@@ -128,7 +138,9 @@ def main(argv=None) -> int:
             train_mode=False, seed=args.seed,
         )
         return prefetch_to_device(
-            batched(samples, config.batch_size, config), prepare=val_prepare
+            batched(samples, config.batch_size, config),
+            sharding=batch_sh,
+            prepare=val_prepare,
         )
 
     fit(

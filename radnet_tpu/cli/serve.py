@@ -54,6 +54,9 @@ def build_argparser() -> argparse.ArgumentParser:
         help="run one synthetic panel of this side length through the "
         "cascade before READY, so the first real panel pays no compile",
     )
+    from radnet_tpu.cli.common import add_mesh_args
+
+    add_mesh_args(p)
     return p
 
 
@@ -80,7 +83,11 @@ def main(argv=None) -> int:
 
     import os
 
-    radnet = load_radnet(os.path.join(args.models_path, args.model_name))
+    from radnet_tpu.cli.common import mesh_from_args
+
+    radnet = load_radnet(
+        os.path.join(args.models_path, args.model_name), mesh=mesh_from_args(args)
+    )
 
     if args.warmup_size:
         s = args.warmup_size

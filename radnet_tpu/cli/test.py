@@ -32,6 +32,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--viz-img-type", default=None,
                    help="image type used for the annotated output PNGs")
     p.add_argument("--limit", type=int, default=None)
+    from radnet_tpu.cli.common import add_mesh_args
+
+    add_mesh_args(p)
     return p
 
 
@@ -42,8 +45,10 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     model_path = os.path.join(args.models_path, args.model_name)
 
+    from radnet_tpu.cli.common import mesh_from_args
+
     print("\n\nMaking predictions on TEST data.")
-    radnet = load_radnet(model_path)
+    radnet = load_radnet(model_path, mesh=mesh_from_args(args))
     data_test, _, _ = get_data(args.test_annot, args.test_data, radnet.C.img_types)
     if args.limit:
         data_test = data_test[: args.limit]

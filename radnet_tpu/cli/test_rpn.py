@@ -28,6 +28,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data", default="data/train")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--iou", type=float, default=0.5)
+    from radnet_tpu.cli.common import add_mesh_args
+
+    add_mesh_args(p)
     return p
 
 
@@ -40,7 +43,9 @@ def main(argv=None) -> int:
     out_dir = os.path.join(model_path, "test_rpn")
     os.makedirs(out_dir, exist_ok=True)
 
-    radnet = load_radnet(model_path)
+    from radnet_tpu.cli.common import mesh_from_args
+
+    radnet = load_radnet(model_path, mesh=mesh_from_args(args))
     data, _, _ = get_data(args.annot, args.data, radnet.C.img_types)
     if args.limit:
         data = data[: args.limit]

@@ -68,7 +68,30 @@ def build_argparser() -> argparse.ArgumentParser:
         "but no weight file is found (resnet50 + FrozenBatchNorm is NOT "
         "trainable from random init - see models/weights.py)",
     )
+    from radnet_tpu.cli.common import add_mesh_args
+
+    add_mesh_args(p)
     return p
+
+
+def shard_for_mesh(config, state, mesh):
+    """Place the train state + pick the batch sharding for a mesh run.
+
+    Returns ``(state, batch_sharding_or_None)``.  The global batch size
+    must divide over the data axis - each chip gets
+    ``batch_size/data_axis`` samples of the fused step's tile batch.
+    """
+    if mesh is None:
+        return state, None
+    from radnet_tpu.parallel.mesh import batch_sharding, shard_train_state
+
+    dp = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+    if config.batch_size % dp:
+        raise SystemExit(
+            f"batch_size={config.batch_size} is not divisible by the "
+            f"data-parallel size {dp}; pass --batch-size a multiple of {dp}"
+        )
+    return shard_train_state(state, mesh), batch_sharding(mesh)
 
 
 def apply_pretrained_weights(config, state, weights=None, allow_random_init=False):
@@ -155,6 +178,10 @@ def main(argv=None) -> int:
         config, state, weights=args.weights,
         allow_random_init=args.allow_random_init,
     )
+    from radnet_tpu.cli.common import mesh_from_args
+
+    mesh = mesh_from_args(args)
+    state, batch_sh = shard_for_mesh(config, state, mesh)
     train_step = make_train_step(model, config)
     eval_step = make_eval_step(model, config) if use_val else None
 
@@ -165,6 +192,7 @@ def main(argv=None) -> int:
     )
     train_batches = prefetch_to_device(
         batched(train_samples, config.batch_size, config, drop_remainder=True),
+        sharding=batch_sh,
         prepare=make_device_preparer(config, seed=args.seed, train=True),
     )
 
@@ -176,7 +204,9 @@ def main(argv=None) -> int:
             train_mode=False, seed=args.seed,
         )
         return prefetch_to_device(
-            batched(samples, config.batch_size, config), prepare=val_prepare
+            batched(samples, config.batch_size, config),
+            sharding=batch_sh,
+            prepare=val_prepare,
         )
 
     state, record = fit(

@@ -54,10 +54,12 @@ class RADNet:
         mesh=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh``; when given, tile
-        batches shard over the mesh's ``data`` axis (multi-chip serving -
-        params replicated, each chip processes its slice of the tiles,
-        XLA handles the rest).  ``infer_tile_batch`` must be divisible by
-        the data-axis size."""
+        batches shard over the mesh's ``data`` axis (each chip processes
+        its slice of the tiles) and the detector head is tensor-sharded
+        over the ``model`` axis (the same Megatron column/row split
+        training uses - parallel/mesh.py); everything else is replicated
+        and XLA inserts the collectives.  ``infer_tile_batch`` is bumped
+        to a multiple of the data-axis size if needed."""
         self.C = config
         self.model = model
         self.variables = {"params": params, "batch_stats": batch_stats}
@@ -66,11 +68,18 @@ class RADNet:
         self.mesh = mesh
         self._batch_sharding = None
         if mesh is not None:
-            from radnet_tpu.parallel.mesh import batch_sharding, replicated
+            from radnet_tpu.parallel.mesh import batch_sharding, make_param_shardings
 
-            rep = replicated(mesh)
+            dp = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+            if config.infer_tile_batch % dp:
+                new_bs = -(-config.infer_tile_batch // dp) * dp
+                print(
+                    f"infer_tile_batch={config.infer_tile_batch} not divisible "
+                    f"by data-parallel size {dp}; using {new_bs}"
+                )
+                config.infer_tile_batch = new_bs
             self.variables = jax.device_put(
-                self.variables, jax.tree_util.tree_map(lambda _: rep, self.variables)
+                self.variables, make_param_shardings(self.variables, mesh)
             )
             self._batch_sharding = batch_sharding(mesh)
         # Anchors + params enter the jitted program as arguments, never as
@@ -614,10 +623,11 @@ class RADNet:
         return fn
 
 
-def load_radnet(model_dir: str) -> RADNet:
+def load_radnet(model_dir: str, mesh=None) -> RADNet:
     """Build a RADNet from a trained model directory (config.json +
     ckpt_best/ checkpoint) - the ``load_radnet`` factory (RADNet.py:721-775),
-    minus the pickle trust."""
+    minus the pickle trust.  ``mesh``: optional multi-chip serving mesh
+    (see :class:`RADNet`)."""
     import jax.random as jrandom
 
     from radnet_tpu.engine.checkpoint import restore_checkpoint
@@ -632,4 +642,4 @@ def load_radnet(model_dir: str) -> RADNet:
     if not os.path.isdir(ckpt_path):
         ckpt_path = os.path.join(model_dir, "ckpt_last")
     state, _ = restore_checkpoint(ckpt_path, template)
-    return RADNet(config, model, state.params, state.batch_stats)
+    return RADNet(config, model, state.params, state.batch_stats, mesh=mesh)

@@ -82,21 +82,28 @@ _TP_RULES: list[tuple[tuple[str, ...], P]] = [
 
 
 def make_param_shardings(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding tree: TP rules for the head, replication elsewhere."""
+    """NamedSharding tree: TP rules for the head, replication elsewhere.
+
+    Rule paths match as a SUFFIX of the leaf's dict-key path, so the same
+    rules place both params (``head/fc1/kernel``) and optimizer moments
+    that mirror them (``…/mu/head/fc1/kernel`` inside the optax state).
+    """
 
     def spec_for(path: tuple, leaf) -> NamedSharding:
         keys = tuple(p.key for p in path if hasattr(p, "key"))
-        for rule_path, spec in _TP_RULES:
-            if keys == rule_path:
-                # Only shard if divisible; tiny test models fall back to
-                # replication rather than failing.
-                axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-                dims_ok = all(
-                    s is None or leaf.shape[i] % axis_sizes[s] == 0
-                    for i, s in enumerate(spec)
-                )
-                if dims_ok:
-                    return NamedSharding(mesh, spec)
+        shape = getattr(leaf, "shape", None)
+        if shape is not None:
+            for rule_path, spec in _TP_RULES:
+                if keys[-len(rule_path):] == rule_path and len(shape) == len(spec):
+                    # Only shard if divisible; tiny test models fall back to
+                    # replication rather than failing.
+                    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+                    dims_ok = all(
+                        s is None or shape[i] % axis_sizes[s] == 0
+                        for i, s in enumerate(spec)
+                    )
+                    if dims_ok:
+                        return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
@@ -105,11 +112,16 @@ def make_param_shardings(params: Any, mesh: Mesh) -> Any:
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place a host train state onto the mesh.
 
-    Params follow the TP rules; batch stats and optimizer state are
-    replicated (the masked-Adam moments for the sharded head follow the
-    params automatically inside jit via GSPMD propagation).
+    Params follow the TP rules; batch stats are replicated; optimizer
+    moments are placed by the SAME rules as the params they mirror (the
+    suffix matching in :func:`make_param_shardings`).  Explicit placement
+    matters at scale: the VGG fc1 Adam moments are ~2x100M floats, and
+    relying on GSPMD to re-place replicated moments next to model-sharded
+    params would at best cost a replicate<->shard reshard per step and at
+    worst keep full-size moments on every chip.
     """
     param_sh = make_param_shardings(state.params, mesh)
+    opt_sh = make_param_shardings(state.opt_state, mesh)
     rep = replicated(mesh)
     return state.replace(
         step=jax.device_put(state.step, rep),
@@ -117,7 +129,5 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
         batch_stats=jax.device_put(
             state.batch_stats, jax.tree_util.tree_map(lambda _: rep, state.batch_stats)
         ),
-        opt_state=jax.device_put(
-            state.opt_state, jax.tree_util.tree_map(lambda _: rep, state.opt_state)
-        ),
+        opt_state=jax.device_put(state.opt_state, opt_sh),
     )

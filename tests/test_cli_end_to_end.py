@@ -180,3 +180,98 @@ def test_train_cont_and_predict(workspace, monkeypatch):
     assert "error" in lines[1]  # bad input keeps the worker alive
     with open(out_json) as f:
         assert json.load(f)["path"] == panel_path
+
+
+def test_mesh_cli_end_to_end(workspace, monkeypatch):
+    """Multi-chip as a product capability: train, resume and evaluate
+    THROUGH the production CLI drivers on an 8-device (4x2 dp x tp) virtual
+    mesh, and match the single-device drivers' results.  (The reference has
+    no distribution story at all - SURVEY.md §2.12; here --n-devices is a
+    first-class flag on every driver.)"""
+    import pandas as pd
+
+    tmp, cfg = workspace
+    monkeypatch.chdir(tmp)
+
+    import copy
+
+    cfg4 = copy.deepcopy(cfg)
+    cfg4.batch_size = 4  # divisible by the dp size of the 4x2 mesh
+    cfg4.save("tiny_config_b4.json")
+
+    from radnet_tpu.cli.train import main as train_main
+
+    common = [
+        "--config-json", "tiny_config_b4.json",
+        "--train-annot", "train.csv",
+        "--train-data", "data/train",
+        "--val-annot", "val.csv",
+        "--val-data", "data/val",
+        "--epoch-length", "2",
+        "--n-epochs", "2",
+        "--num-workers", "1",  # deterministic sample order for comparison
+        "--seed", "64",
+    ]
+    assert train_main(common + ["--model-name", "mesh1"]) == 0
+    assert (
+        train_main(
+            common
+            + ["--model-name", "mesh8", "--n-devices", "8", "--model-parallel", "2"]
+        )
+        == 0
+    )
+
+    dir1 = os.path.join("models", "faster_rcnn_vgg16_mesh1")
+    dir8 = os.path.join("models", "faster_rcnn_vgg16_mesh8")
+    rec1 = pd.read_csv(os.path.join(dir1, "record.csv"))
+    rec8 = pd.read_csv(os.path.join(dir8, "record.csv"))
+    assert len(rec8) == 2
+    # Same data order + same rng streams: the sharded run must track the
+    # single-device run within float/collective-reassociation drift.
+    np.testing.assert_allclose(
+        rec8["total_loss"].to_numpy(float),
+        rec1["total_loss"].to_numpy(float),
+        rtol=0.05,
+        atol=0.05,
+    )
+
+    # Resume through the driver, still on the mesh.
+    from radnet_tpu.cli.cont_train import main as cont_main
+
+    assert (
+        cont_main(
+            [
+                "--model-name", "faster_rcnn_vgg16_mesh8",
+                "--train-annot", "train.csv",
+                "--train-data", "data/train",
+                "--epoch-length", "2",
+                "--n-epochs", "1",
+                "--no-validation",
+                "--num-workers", "1",
+                "--n-devices", "8",
+                "--model-parallel", "2",
+            ]
+        )
+        == 0
+    )
+    assert len(pd.read_csv(os.path.join(dir8, "record.csv"))) == 3
+
+    # Evaluate the SAME trained model through the driver with and without a
+    # mesh: detections (and hence mAP) must agree.
+    from radnet_tpu.cli.test import main as test_main
+
+    eval_common = [
+        "--models-path", "models",
+        "--model-name", "faster_rcnn_vgg16_mesh1",
+        "--test-annot", "val.csv",
+        "--test-data", "data/val",
+    ]
+    assert test_main(eval_common) == 0
+    with open(os.path.join(dir1, "test_accuracy.json")) as f:
+        acc1 = json.load(f)
+    assert test_main(eval_common + ["--n-devices", "4"]) == 0
+    with open(os.path.join(dir1, "test_accuracy.json")) as f:
+        acc4 = json.load(f)
+    assert acc1.keys() == acc4.keys()
+    for k in acc1:
+        np.testing.assert_allclose(acc4[k], acc1[k], atol=1e-3, err_msg=k)

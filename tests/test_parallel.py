@@ -50,14 +50,16 @@ def test_sharded_inference_matches_single_device():
     single = RADNet(cfg, model, state.params, state.batch_stats)
     b1, s1, v1 = jax.device_get(single._predict_tiles(jnp.asarray(imgs), jnp.asarray(wh)))
 
-    mesh = make_mesh(4, model_parallel=1)
-    with mesh:
-        sharded = RADNet(cfg, model, state.params, state.batch_stats, mesh=mesh)
-        b2, s2, v2 = jax.device_get(sharded._predict_tiles(imgs, wh))
+    # dp-only mesh AND a dp x tp mesh (serving tensor-shards the head too).
+    for mp in (1, 2):
+        mesh = make_mesh(4 * mp, model_parallel=mp)
+        with mesh:
+            sharded = RADNet(cfg, model, state.params, state.batch_stats, mesh=mesh)
+            b2, s2, v2 = jax.device_get(sharded._predict_tiles(imgs, wh))
 
-    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
-    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
 
 
 def test_sharded_train_step_matches_single_device():
@@ -115,3 +117,63 @@ def test_sharded_panel_predict_matches_single_device():
 
     key = lambda d: (d["class"], d["x1"], d["y1"], d["x2"], d["y2"], round(d["prob"], 5))
     assert sorted(map(key, dets1)) == sorted(map(key, dets2))
+
+
+def _collect_by_suffix(tree, suffix):
+    """All leaves whose dict-key path ends with ``suffix``."""
+    out = []
+
+    def visit(path, leaf):
+        keys = tuple(p.key for p in path if hasattr(p, "key"))
+        if keys[-len(suffix):] == suffix:
+            out.append((path, leaf))
+
+    jax.tree_util.tree_map_with_path(visit, tree)
+    return out
+
+
+def test_tp_optimizer_moments_follow_param_sharding():
+    """Adam moments for the tensor-sharded head must be placed by the SAME
+    rules as the params they mirror - before AND after a step on the mesh.
+    A comment-level 'GSPMD will re-place them' is not enough: replicated
+    moments next to model-sharded params would reshard every step (the VGG
+    fc1 moments are ~2x100M floats at real scale)."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    step = make_train_step(model, cfg)
+    mesh = make_mesh(8, model_parallel=2)
+    with mesh:
+        state = shard_train_state(
+            create_train_state(model, cfg, jax.random.PRNGKey(0)), mesh
+        )
+
+        def check(st, when):
+            from jax.sharding import NamedSharding
+
+            for suffix, want in (
+                (("head", "fc1", "kernel"), P(None, MODEL_AXIS)),
+                (("head", "fc1", "bias"), P(MODEL_AXIS)),
+                (("head", "fc2", "kernel"), P(MODEL_AXIS, None)),
+            ):
+                moments = _collect_by_suffix(st.opt_state, suffix)
+                assert len(moments) >= 2, (when, suffix)  # mu and nu
+                for path, leaf in moments:
+                    # spec comparison must be layout-equivalence (GSPMD
+                    # drops trailing Nones), not string equality
+                    assert leaf.sharding.is_equivalent_to(
+                        NamedSharding(mesh, want), leaf.ndim
+                    ), (when, path, leaf.sharding)
+                params = _collect_by_suffix(st.params, suffix)
+                assert len(params) == 1
+                leaf = params[0][1]
+                assert leaf.sharding.is_equivalent_to(
+                    NamedSharding(mesh, want), leaf.ndim
+                ), (when, suffix, leaf.sharding)
+
+        check(state, "before step")
+        batch = jax.device_put(synthetic_batch(cfg, batch=4), batch_sharding(mesh))
+        new_state, _ = step(state, batch, jax.random.PRNGKey(7))
+        jax.block_until_ready(new_state.params)
+        check(new_state, "after step")
