@@ -32,10 +32,58 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--viz-img-type", default=None,
                    help="image type used for the annotated output PNGs")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument(
+        "--compare",
+        default=None,
+        metavar="REF_JSON",
+        help="path to a reference-format test_accuracy.json "
+        "(/root/reference/test.py:258-259); prints per-class AP deltas and "
+        "a pass/fail verdict against the 0.5-pt mAP parity target, so "
+        "parity is one command the day reference numbers exist",
+    )
+    p.add_argument(
+        "--parity-tolerance",
+        type=float,
+        default=0.005,
+        help="max acceptable mAP shortfall vs --compare (0.005 = 0.5 pts)",
+    )
     from radnet_tpu.cli.common import add_mesh_args
 
     add_mesh_args(p)
     return p
+
+
+def compare_accuracy(
+    ours: dict, ref: dict, tolerance: float = 0.005
+) -> tuple[bool, str]:
+    """Per-class AP deltas + a parity verdict vs a reference accuracy dict.
+
+    Returns ``(parity_ok, report)``.  Parity = our mAP is no more than
+    ``tolerance`` below the reference's (exceeding it is fine); per-class
+    rows are informational.  Classes missing on either side are reported
+    as n/a and excluded from the verdict (the reference may have been run
+    on a different class subset).
+    """
+    lines = [f"{'class':<12} {'ref AP':>8} {'ours':>8} {'delta':>8}"]
+    for key in sorted((set(ref) | set(ours)) - {"mAP"}):
+        r, o = ref.get(key), ours.get(key)
+        if r is None or o is None:
+            lines.append(f"{key:<12} {r if r is not None else 'n/a':>8} "
+                         f"{o if o is not None else 'n/a':>8} {'n/a':>8}")
+            continue
+        lines.append(f"{key:<12} {r:>8.4f} {o:>8.4f} {o - r:>+8.4f}")
+    r_map, o_map = ref.get("mAP"), ours.get("mAP")
+    if r_map is None or o_map is None:
+        lines.append("mAP missing on one side; no verdict")
+        return False, "\n".join(lines)
+    delta = o_map - r_map
+    ok = delta >= -tolerance
+    lines.append(f"{'mAP':<12} {r_map:>8.4f} {o_map:>8.4f} {delta:>+8.4f}")
+    lines.append(
+        f"PARITY {'OK' if ok else 'FAIL'}: mAP delta {delta:+.4f} "
+        f"(tolerance -{tolerance:.4f})"
+    )
+    return ok, "\n".join(lines)
 
 
 def main(argv=None) -> int:
@@ -117,6 +165,14 @@ def main(argv=None) -> int:
     print("mAP: " + str(result["mAP"]))
     if elapsed:
         print(f"Average prediction time: {np.mean(elapsed):.3f}s")
+
+    if args.compare:
+        with open(args.compare) as f:
+            ref = json.load(f)
+        ok, report = compare_accuracy(accuracy, ref, args.parity_tolerance)
+        print("\nParity vs " + args.compare)
+        print(report)
+        return 0 if ok else 2
     return 0
 
 

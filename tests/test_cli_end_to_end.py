@@ -275,3 +275,47 @@ def test_mesh_cli_end_to_end(workspace, monkeypatch):
     assert acc1.keys() == acc4.keys()
     for k in acc1:
         np.testing.assert_allclose(acc4[k], acc1[k], atol=1e-3, err_msg=k)
+
+
+def test_map_parity_compare_harness(workspace, monkeypatch):
+    """`test.py --compare ref.json` makes mAP parity a single command the
+    day reference numbers arrive: per-class deltas + exit code 0/2 against
+    the 0.5-pt north star (BASELINE.json)."""
+    tmp, cfg = workspace
+    monkeypatch.chdir(tmp)
+
+    from radnet_tpu.cli.test import compare_accuracy, main as test_main
+
+    # Pure-function behavior first.
+    ours = {"boat": 0.8, "human": 0.6, "mAP": 0.7}
+    ok, report = compare_accuracy(ours, {"boat": 0.75, "human": 0.65, "mAP": 0.7})
+    assert ok and "PARITY OK" in report and "boat" in report
+    ok, report = compare_accuracy(ours, {"boat": 0.9, "human": 0.9, "mAP": 0.9})
+    assert not ok and "PARITY FAIL" in report
+    ok, _ = compare_accuracy(ours, {"mAP": 0.704})  # within 0.5 pts below
+    assert ok
+    ok, _ = compare_accuracy(ours, {"mAP": 0.706})
+    assert not ok
+    ok, report = compare_accuracy(ours, {"wheel": 0.5, "mAP": 0.7})
+    assert ok and "n/a" in report  # class-set mismatch is informational
+
+    # Through the driver against the model trained by the earlier test
+    # (depends on test_train_cont_and_predict having run in this module).
+    import json as _json
+
+    model = "faster_rcnn_vgg16_smoke"
+    with open(os.path.join("models", model, "test_accuracy.json")) as f:
+        own = _json.load(f)
+    with open("fabricated_ref.json", "w") as f:
+        _json.dump({**own, "mAP": own["mAP"]}, f)  # parity by construction
+    eval_args = [
+        "--models-path", "models",
+        "--model-name", model,
+        "--test-annot", "val.csv",
+        "--test-data", "data/val",
+        "--compare", "fabricated_ref.json",
+    ]
+    assert test_main(eval_args) == 0
+    with open("fabricated_ref.json", "w") as f:
+        _json.dump({**own, "mAP": own["mAP"] + 0.02}, f)  # out of tolerance
+    assert test_main(eval_args) == 2
