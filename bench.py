@@ -20,6 +20,7 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -88,8 +89,10 @@ def cascade_mfu(radnet, device_tile_sec: float, batch: int, peak_flops: float = 
     return flops / batch_sec / peak_flops
 
 
-def time_train_step(config_overrides=None, n_steps: int = 60):
-    """Steps/s of the fused train step (device-resident batches)."""
+def time_train_step(config_overrides=None, n_steps: int = 60, peak_flops: float = 197e12):
+    """(steps/s, images/s, train MFU) of the fused train step
+    (device-resident batches).  MFU from XLA's own cost model: compiled
+    flops / measured step time / chip peak (197 TF bf16 on v5e)."""
     import jax
     import jax.numpy as jnp
 
@@ -127,7 +130,18 @@ def time_train_step(config_overrides=None, n_steps: int = 60):
         state, metrics = train_step(state, batch, sub)
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / n_steps
-    return 1.0 / dt, b / dt
+    try:
+        comp = train_step._jitted.lower(
+            state, batch, key, train_step._anchors
+        ).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+        train_mfu = flops / dt / peak_flops
+    except Exception:
+        train_mfu = float("nan")
+    return 1.0 / dt, b / dt, train_mfu
 
 
 def _enable_compile_cache():
@@ -187,19 +201,37 @@ def main() -> int:
     wh_np = np.full((bs, 2), float(config.img_size), np.float32)
     dev_tile_s = time_tile_batches(radnet, config, default_dev, 4, batch_np, wh_np)
 
-    vs_baseline = float("nan")
+    # vs_baseline: the CPU-proxy tile time is PINNED in BASELINE.json
+    # (measured once on this host) so BENCH_r*.json is comparable across
+    # rounds - the live proxy re-measurement swings ~2x run-to-run with
+    # host load.  The live number is still reported in detail.
+    cpu_tile_live = float("nan")
+    pinned_cpu_tile = float("nan")
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")) as f:
+            pinned_cpu_tile = float(
+                json.load(f).get("pinned", {}).get("cpu_tile_sec_proxy", float("nan"))
+            )
+    except Exception:
+        pass
     if cpu_dev is not None and cpu_dev.platform != default_dev.platform:
-        cpu_radnet, _ = build_radnet(device=cpu_dev)
-        cpu_tile_s = time_tile_batches(cpu_radnet, config, cpu_dev, 1, batch_np, wh_np)
-        vs_baseline = cpu_tile_s / dev_tile_s
+        if not np.isfinite(pinned_cpu_tile):
+            cpu_radnet, _ = build_radnet(device=cpu_dev)
+            cpu_tile_live = time_tile_batches(
+                cpu_radnet, config, cpu_dev, 1, batch_np, wh_np
+            )
+        baseline_tile = pinned_cpu_tile if np.isfinite(pinned_cpu_tile) else cpu_tile_live
+        vs_baseline = baseline_tile / dev_tile_s
     elif cpu_dev is not None:
         vs_baseline = 1.0
+    else:
+        vs_baseline = float("nan")
 
     mfu = cascade_mfu(radnet, dev_tile_s, bs)
     try:
-        train_steps_s, train_imgs_s = time_train_step()
+        train_steps_s, train_imgs_s, train_mfu = time_train_step()
     except Exception:
-        train_steps_s, train_imgs_s = float("nan"), float("nan")
+        train_steps_s, train_imgs_s, train_mfu = (float("nan"),) * 3
 
     print(
         json.dumps(
@@ -220,6 +252,15 @@ def main() -> int:
                     else None,
                     "train_images_per_sec": round(train_imgs_s, 1)
                     if np.isfinite(train_imgs_s)
+                    else None,
+                    "train_mfu": round(train_mfu, 3)
+                    if np.isfinite(train_mfu)
+                    else None,
+                    "cpu_tile_sec_pinned": round(pinned_cpu_tile, 4)
+                    if np.isfinite(pinned_cpu_tile)
+                    else None,
+                    "cpu_tile_sec_live": round(cpu_tile_live, 4)
+                    if np.isfinite(cpu_tile_live)
                     else None,
                     "compile_and_first_run_sec": round(compile_and_first, 1),
                     "device": str(default_dev),

@@ -260,7 +260,12 @@ def make_train_step(
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 
-    return lambda state, batch, rng: train_step(state, batch, rng, anchors)
+    fn = lambda state, batch, rng: train_step(state, batch, rng, anchors)
+    # Exposed for profiling/benchmarks: lower()/compile() for
+    # cost_analysis-based MFU needs the underlying jit + the anchor arg.
+    fn._jitted = train_step
+    fn._anchors = anchors
+    return fn
 
 
 def make_eval_step(model: FasterRCNN, config: Config) -> Callable:
