@@ -106,7 +106,7 @@ def time_train_step(config_overrides=None, n_steps: int = 60, peak_flops: float 
         setattr(config, k, v)
     model = build_model(config)
     state = create_train_state(model, config, jax.random.PRNGKey(0))
-    train_step = make_train_step(model, config)
+    train_step = make_train_step(model, config, donate=True)  # production path
 
     rng = np.random.default_rng(0)
     b, s, g = config.batch_size, config.canvas_size, config.max_gt_boxes

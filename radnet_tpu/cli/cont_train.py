@@ -116,7 +116,7 @@ def main(argv=None) -> int:
     state, batch_sh = shard_for_mesh(config, state, mesh)
 
     train_step = make_train_step(
-        model, config, trunk_trainable=config.base_net_cont_trainable
+        model, config, trunk_trainable=config.base_net_cont_trainable, donate=True
     )
     eval_step = make_eval_step(model, config) if use_val else None
 

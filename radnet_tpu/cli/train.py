@@ -182,7 +182,7 @@ def main(argv=None) -> int:
 
     mesh = mesh_from_args(args)
     state, batch_sh = shard_for_mesh(config, state, mesh)
-    train_step = make_train_step(model, config)
+    train_step = make_train_step(model, config, donate=True)
     eval_step = make_eval_step(model, config) if use_val else None
 
     # Pipelines.

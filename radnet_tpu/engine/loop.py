@@ -160,6 +160,7 @@ def fit(
     start_time = time.time()
     train_step_count = int(state.step)
     saver = AsyncSaver()
+    snapshot = None  # jitted on-device state copier (donating steps only)
 
     # Any exception out of the epoch loop (prefetch error, failed val
     # batch, KeyboardInterrupt) must still flush queued ckpt_best/ckpt_last
@@ -258,9 +259,32 @@ def fit(
             # host<->device traffic) overlaps the next epoch; best + last of
             # one epoch share a single fetch (AsyncSaver batches same-state
             # submissions).
+            #
+            # A donating train step (make_train_step(donate=True))
+            # invalidates the state buffers it consumes, so the state
+            # handed to the async saver must be a SNAPSHOT - otherwise the
+            # next epoch's first step donates the very buffers the saver
+            # is still fetching.  One on-device copy per epoch (~ms) vs
+            # the ~12 ms/step the donation buys; the jitted copy preserves
+            # shardings on a mesh.
+            if getattr(train_step, "_donates", False):
+                if snapshot is None:
+                    import jax.numpy as jnp
+
+                    snapshot = jax.jit(
+                        lambda t: jax.tree_util.tree_map(jnp.copy, t)
+                    )
+                save_state = state.replace(
+                    step=snapshot(state.step),  # donated too (int32 scalar)
+                    params=snapshot(state.params),
+                    batch_stats=snapshot(state.batch_stats),
+                    opt_state=snapshot(state.opt_state),
+                )
+            else:
+                save_state = state
             if improved:
-                saver.submit(os.path.join(model_path, "ckpt_best"), state, best_total_loss)
-            saver.submit(os.path.join(model_path, "ckpt_last"), state, best_total_loss)
+                saver.submit(os.path.join(model_path, "ckpt_best"), save_state, best_total_loss)
+            saver.submit(os.path.join(model_path, "ckpt_last"), save_state, best_total_loss)
 
             record = pd.concat([record, pd.DataFrame([row])], ignore_index=True)
             record.to_csv(record_path, index=False)

@@ -236,19 +236,30 @@ def _device_anchors(config: Config):
 
 
 def make_train_step(
-    model: FasterRCNN, config: Config, trunk_trainable: bool | None = None
+    model: FasterRCNN,
+    config: Config,
+    trunk_trainable: bool | None = None,
+    donate: bool = False,
 ) -> Callable:
     """Build the jitted fused train step.
 
     ``trunk_trainable`` must match the trainability the optimizer was
     built with (``create_train_state``'s ``base_net_trainable``); default
     is ``config.base_net_trainable``.  When the trunk is fully frozen the
-    step skips its backward pass entirely (see ``compute_losses``)."""
+    step skips its backward pass entirely (see ``compute_losses``).
+
+    ``donate``: donate the input state's buffers so params + Adam moments
+    (~1.4 GB for the VGG16 head) update in place - measured 38.6 ->
+    26.8 ms/step (1.44x) on v5e-1.  The production drivers enable it; the
+    default stays False because a donated state is INVALID after the call
+    (callers that re-read the pre-step state - tests, notebooks - would
+    break, and ``fit`` must snapshot the state before handing it to the
+    async checkpointer, see engine/loop.py)."""
     if trunk_trainable is None:
         trunk_trainable = config.base_net_trainable
     anchors = _device_anchors(config)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng, anchors):
         def loss_fn(params):
             return compute_losses(
@@ -265,6 +276,7 @@ def make_train_step(
     # cost_analysis-based MFU needs the underlying jit + the anchor arg.
     fn._jitted = train_step
     fn._anchors = anchors
+    fn._donates = donate  # engine/loop.py snapshots before async saves
     return fn
 
 

@@ -88,7 +88,7 @@ def main() -> int:
         model, config, jax.random.PRNGKey(0),
         learning_rate=args.lr, base_net_trainable=True,
     )
-    train_step = make_train_step(model, config, trunk_trainable=True)
+    train_step = make_train_step(model, config, trunk_trainable=True, donate=True)
 
     rng = np.random.default_rng(0)
     panels = [make_panel(rng) for _ in range(args.n_panels)]

@@ -90,3 +90,56 @@ def test_loss_decreases_over_steps(setup):
             first = total
         last = total
     assert last < first  # rpn objectness must be learnable on a fixed batch
+
+
+def test_donated_train_step_matches_and_fits(tmp_path):
+    """The production drivers run the step with donate=True (params + Adam
+    moments update in place; measured 1.44x on v5e).  Metrics must match
+    the non-donated step exactly, and fit() must snapshot the state before
+    async checkpoint submission (the next epoch's first step donates the
+    buffers the saver would otherwise still be fetching)."""
+    import os
+
+    import pandas as pd
+
+    from radnet_tpu.engine.loop import fit
+
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()}
+
+    plain = make_train_step(model, cfg)
+    donating = make_train_step(model, cfg, donate=True)
+    assert donating._donates and not plain._donates
+
+    s1 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    s2 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    m1 = m2 = None
+    for i in range(3):
+        s1, m1 = plain(s1, batch, jax.random.PRNGKey(i))
+        s2, m2 = donating(s2, batch, jax.random.PRNGKey(i))
+    m1, m2 = jax.device_get((m1, m2))
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-6, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["rpn"]["rpn_conv1"]["kernel"]),
+        np.asarray(s2.params["rpn"]["rpn_conv1"]["kernel"]),
+        rtol=1e-6,
+    )
+
+    # Through fit with async checkpointing: 2 epochs so epoch 2's donating
+    # steps run while epoch 1's ckpt_last fetch may still be in flight.
+    def batches():
+        while True:
+            yield batch
+
+    model_path = str(tmp_path / "donated")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state, record = fit(
+        cfg, state, donating, batches(), model_path,
+        epoch_length=3, n_epochs=2, verbose=False,
+    )
+    assert len(record) == 2
+    assert os.path.isdir(os.path.join(model_path, "ckpt_last"))
+    rec = pd.read_csv(os.path.join(model_path, "record.csv"))
+    assert np.isfinite(rec["total_loss"]).all()
