@@ -191,7 +191,26 @@ def main() -> int:
     for _ in range(runs):
         radnet.predict([panel])
     panel_sec = (time.perf_counter() - t0) / runs
-    panels_per_sec = 1.0 / panel_sec
+
+    # Pipelined throughput - the production serving pattern (cli/serve.py):
+    # one panel outstanding, panel k+1's host prep (grey detect, prescale,
+    # canvas build) dispatched before panel k's results are collected, so
+    # host work overlaps device compute.  Panels are perturbed per
+    # iteration to defeat the executor's identical-call memoizer.
+    stream = []
+    for i in range(6):
+        p = panel.copy()
+        p[i, i] ^= 0xFF
+        stream.append(p)
+    t0 = time.perf_counter()
+    pending = radnet.predict_dispatch([stream[0]])
+    for p in stream[1:]:
+        nxt = radnet.predict_dispatch([p])
+        radnet.predict_collect(pending)
+        pending = nxt
+    radnet.predict_collect(pending)
+    pipelined_sec = (time.perf_counter() - t0) / len(stream)
+    panels_per_sec = 1.0 / pipelined_sec
 
     # Device-only per-tile time for the vs-CPU ratio.
     bs = config.infer_tile_batch
@@ -238,13 +257,15 @@ def main() -> int:
             {
                 "metric": "panel_predict_throughput",
                 "value": round(panels_per_sec, 4),
-                "unit": "panels/s (4000x4000 panel, 36 tiles, resnet50)",
+                "unit": "panels/s (4000x4000 panel, 36 tiles, resnet50, "
+                "pipelined serving pattern)",
                 "vs_baseline": round(vs_baseline, 2)
                 if np.isfinite(vs_baseline)
                 else None,
                 "detail": {
-                    "sec_per_panel": round(panel_sec, 3),
-                    "tiles_per_sec": round(n_tiles / panel_sec, 2),
+                    "sec_per_panel_serial": round(panel_sec, 3),
+                    "sec_per_panel_pipelined": round(pipelined_sec, 3),
+                    "tiles_per_sec": round(n_tiles / pipelined_sec, 2),
                     "device_sec_per_tile": round(dev_tile_s, 4),
                     "mfu": round(mfu, 3) if np.isfinite(mfu) else None,
                     "train_steps_per_sec": round(train_steps_s, 2)

@@ -251,3 +251,27 @@ def test_max_head_rois_truncation():
     if v2.any():
         b = b2[v2]
         assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+
+
+def test_interleaved_dispatch_collect_matches_serial(radnet):
+    """The serving/bench pipeline (dispatch panel k+1 before collecting
+    panel k - cli/serve.py, bench.py) must produce exactly the serial
+    predict() results for each panel."""
+    radnet.bbox_threshold = 0.0
+    rng = np.random.default_rng(11)
+    panels = [
+        rng.integers(0, 255, (70, 80, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    serial = [radnet.predict([p]) for p in panels]
+
+    interleaved = []
+    pending = radnet.predict_dispatch([panels[0]])
+    for p in panels[1:]:
+        nxt = radnet.predict_dispatch([p])
+        interleaved.append(radnet.predict_collect(pending))
+        pending = nxt
+    interleaved.append(radnet.predict_collect(pending))
+
+    key = lambda d: (d["class"], d["x1"], d["y1"], d["x2"], d["y2"], round(d["prob"], 6))
+    for a, b in zip(serial, interleaved):
+        assert sorted(map(key, a)) == sorted(map(key, b))
