@@ -7,10 +7,10 @@ Re-creates the observable training contract of /root/reference/train.py:
   (train.py:214-233), appended once per epoch;
 * best-validation-loss checkpointing (train.py:565-599), plus a ``last``
   checkpoint for crash recovery;
-* per-step metric logging to ``metrics.jsonl`` (the reference wrote
-  TensorBoard summaries via ``write_log``, train.py:72-79; this
-  environment has no TF, and a line-delimited JSON log is
-  machine-readable for the same dashboards);
+* per-step metric logging to ``metrics.jsonl`` AND TensorBoard event
+  files (the reference wrote summaries via ``write_log``, train.py:
+  72-79; events are hand-encoded TF-free by ``utils/tbevents.py`` with
+  the reference's exact tag names, per step and per epoch);
 * post-training loss/accuracy curve PNGs under ``viz/``
   (train.py:648-707).
 
@@ -33,6 +33,17 @@ import pandas as pd
 from radnet_tpu.config import Config
 from radnet_tpu.engine import checkpoint as ckpt
 from radnet_tpu.engine.train_state import TrainState
+from radnet_tpu.utils.tbevents import EventWriter
+
+# metrics.jsonl key -> the reference's per-step TensorBoard tag
+# (write_log calls, train.py:408-424).
+_STEP_TAGS = {
+    "loss_rpn_cls": "rpn_cls_loss",
+    "loss_rpn_regr": "rpn_reg_loss",
+    "loss_detector_cls": "detector_cls_loss",
+    "loss_detector_regr": "detector_reg_loss",
+    "detector_acc": "detector_acc",
+}
 
 RECORD_COLUMNS = [
     "elapsed_time",
@@ -153,6 +164,9 @@ def fit(
     create_model_folder(model_path)
     record_path = os.path.join(model_path, "record.csv")
     metrics_log = open(os.path.join(model_path, "metrics.jsonl"), "a")
+    # TensorBoard events beside record.csv, like the reference's
+    # TensorBoard(model_path) callback (train.py:258-260).
+    events = EventWriter(model_path)
     if record is None:
         record = pd.DataFrame(columns=RECORD_COLUMNS)
 
@@ -184,14 +198,23 @@ def fit(
             # Host sync once per epoch; log per-step scalars.
             epoch_metrics = jax.device_get(epoch_metrics)
             for i, m in enumerate(epoch_metrics):
+                step_no = train_step_count - epoch_length + i
                 metrics_log.write(
                     json.dumps(
                         {
-                            "step": train_step_count - epoch_length + i,
+                            "step": step_no,
                             **{k: float(v) for k, v in m.items()},
                         }
                     )
                     + "\n"
+                )
+                events.add_scalars(
+                    step_no,
+                    {
+                        tag: float(m[k])
+                        for k, tag in _STEP_TAGS.items()
+                        if k in m
+                    },
                 )
             metrics_log.flush()
 
@@ -286,6 +309,23 @@ def fit(
                 saver.submit(os.path.join(model_path, "ckpt_best"), save_state, best_total_loss)
             saver.submit(os.path.join(model_path, "ckpt_last"), save_state, best_total_loss)
 
+            # Epoch-average summaries under the reference's exact tags,
+            # indexed by global epoch number (write_log, train.py:607-630;
+            # record.shape[0] keeps the index monotone across resumes).
+            events.add_scalars(
+                int(record.shape[0]),
+                {
+                    "Elapsed_time": (time.time() - start_time) / 60,
+                    "mean_overlapping_bboxes": _mean(epoch_metrics, "mean_overlapping_bboxes"),
+                    "mean_rpn_cls_loss": _mean(epoch_metrics, "loss_rpn_cls"),
+                    "mean_rpn_reg_loss": _mean(epoch_metrics, "loss_rpn_regr"),
+                    "mean_detector_cls_loss": _mean(epoch_metrics, "loss_detector_cls"),
+                    "mean_detector_reg_loss": _mean(epoch_metrics, "loss_detector_regr"),
+                    "mean_detector_acc": _mean(epoch_metrics, "detector_acc"),
+                    "total_loss": curr_total_loss,
+                },
+            )
+
             record = pd.concat([record, pd.DataFrame([row])], ignore_index=True)
             record.to_csv(record_path, index=False)
     except BaseException:
@@ -294,10 +334,12 @@ def fit(
         except BaseException as save_err:
             print(f"checkpoint flush during shutdown failed: {save_err!r}")
         metrics_log.close()
+        events.close()
         raise
 
     saver.close()  # flush pending checkpoint writes
     metrics_log.close()
+    events.close()
     save_training_plots(record, os.path.join(model_path, "viz"))
     try:
         from radnet_tpu.utils.dashboard import generate_dashboard

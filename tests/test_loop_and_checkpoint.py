@@ -299,3 +299,41 @@ def test_fit_flushes_checkpoints_on_error(tmp_path, setup):
         os.path.join(model_path, "ckpt_last"), template
     )
     assert int(restored.step) == 2
+
+
+def test_fit_writes_tensorboard_events(tmp_path, setup):
+    """fit() emits TensorBoard event files beside record.csv with the
+    reference's per-step and per-epoch scalar tags (write_log,
+    train.py:408-424, 607-630)."""
+    import glob
+
+    from tests.test_tbevents import _decode_event, _read_records
+
+    cfg, model, state, train_step, _ = setup
+    model_path = str(tmp_path / "m")
+    fit(
+        cfg, state, train_step, _batch_iter(cfg), model_path,
+        epoch_length=2, n_epochs=2, verbose=False,
+    )
+    [path] = glob.glob(os.path.join(model_path, "events.out.tfevents.*"))
+    events = [_decode_event(r) for r in _read_records(path)]
+    assert events[0]["file_version"] == "brain.Event:2"
+
+    step_tags = {"rpn_cls_loss", "rpn_reg_loss", "detector_cls_loss",
+                 "detector_reg_loss", "detector_acc"}
+    epoch_tags = {"Elapsed_time", "mean_overlapping_bboxes",
+                  "mean_rpn_cls_loss", "mean_rpn_reg_loss",
+                  "mean_detector_cls_loss", "mean_detector_reg_loss",
+                  "mean_detector_acc", "total_loss"}
+    step_events = [e for e in events[1:] if set(e["values"]) == step_tags]
+    epoch_events = [e for e in events[1:] if set(e["values"]) == epoch_tags]
+    assert len(step_events) == 4  # 2 epochs x 2 steps
+    assert [e["step"] for e in step_events] == [0, 1, 2, 3]
+    assert len(epoch_events) == 2
+    assert [e["step"] for e in epoch_events] == [0, 1]
+    assert len(step_events) + len(epoch_events) == len(events) - 1
+    # Event scalars agree with record.csv (same epoch means, unrounded).
+    rec = pd.read_csv(os.path.join(model_path, "record.csv"))
+    for i, e in enumerate(epoch_events):
+        assert e["values"]["total_loss"] == pytest.approx(
+            float(rec["total_loss"].iloc[i]), abs=2e-3)
