@@ -3,7 +3,9 @@
 Full test-set inference + VOC mAP: per-image tiled prediction with
 wall-clock timing, annotated panel PNGs under ``<model>/test/``, per-class
 AP and mAP, a precision/recall curve PNG under ``viz/``, and
-``test_accuracy.json`` (test.py:177-262).
+``test_accuracy.json`` (test.py:177-262).  Panels are pipelined through
+the device (dispatch k+1 before collecting k), unlike the reference's
+strictly serial loop (test.py:202-205).
 """
 
 from __future__ import annotations
@@ -106,12 +108,17 @@ def main(argv=None) -> int:
     elapsed = []
     viz_type = args.viz_img_type or radnet.C.img_types[0]
 
-    for idx, img_meta in enumerate(data_test):
-        print(f"{img_meta['filepath']} ({idx + 1}/{len(data_test)})")
-        t0 = time.time()
-        detections = radnet.predict_from_path(img_meta["filepath"])
-        elapsed.append(time.time() - t0)
+    def _load(img_meta):
+        """predict_from_path's image loading (RADNet.py:482-500), split out
+        so the next panel's decode can overlap the device flight."""
+        if radnet.C.use_img_type:
+            return [
+                get_image(img_meta["filepath"], [t], random_type=False)
+                for t in radnet.C.img_types
+            ]
+        return [get_image(img_meta["filepath"], radnet.C.img_types, random_type=False)]
 
+    def _finish(img_meta, detections):
         try:
             img = get_image(
                 img_meta["filepath"], [viz_type], random_type=False, writable=True
@@ -126,6 +133,31 @@ def main(argv=None) -> int:
 
         all_dets.extend(detections)
         all_gt.extend(img_meta["bboxes"])
+
+    # Pipelined eval: dispatch panel k+1 before collecting panel k, so
+    # host decode/merge/PNG work overlaps device compute (the same
+    # dispatch/collect overlap serve.py and bench.py use; results are
+    # pinned identical to serial predict() by test).  The reference
+    # predicts strictly serially and reports per-image wall time
+    # (test.py:202-205); here "Average prediction time" is the honest
+    # pipelined equivalent - mean inter-completion gap.
+    pending = None
+    t_last = time.time()
+    for idx, img_meta in enumerate(data_test):
+        print(f"{img_meta['filepath']} ({idx + 1}/{len(data_test)})")
+        handles = radnet.predict_dispatch(_load(img_meta))
+        if pending is not None:
+            prev_meta, prev_handles = pending
+            detections = radnet.predict_collect(prev_handles)
+            elapsed.append(time.time() - t_last)
+            t_last = time.time()
+            _finish(prev_meta, detections)
+        pending = (img_meta, handles)
+    if pending is not None:
+        prev_meta, prev_handles = pending
+        detections = radnet.predict_collect(prev_handles)
+        elapsed.append(time.time() - t_last)
+        _finish(prev_meta, detections)
 
     result = evaluate_detections(all_dets, all_gt, args.gt_iou_threshold)
 
@@ -164,7 +196,15 @@ def main(argv=None) -> int:
 
     print("mAP: " + str(result["mAP"]))
     if elapsed:
+        # Reference metric (test.py:262) first; the steady-state line
+        # excludes panel 0, which pays the per-process compile + session
+        # stall on the tunneled backend (CLAUDE.md pitfall #2).
         print(f"Average prediction time: {np.mean(elapsed):.3f}s")
+        if len(elapsed) > 1:
+            print(
+                f"Steady-state prediction time (excl. first panel): "
+                f"{np.mean(elapsed[1:]):.3f}s"
+            )
 
     if args.compare:
         with open(args.compare) as f:
