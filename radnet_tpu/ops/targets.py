@@ -45,19 +45,32 @@ class RpnTargets(NamedTuple):
     n_pos: jnp.ndarray  # () int32, positive anchors after the pos cap
 
 
-def _rank_among(mask: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-    """Random rank of each True element among the True elements.
+def _keep_random_subset(
+    mask: jnp.ndarray, budget: jnp.ndarray, rng: jax.Array
+) -> jnp.ndarray:
+    """Randomly keep exactly ``min(budget, count)`` True elements of ``mask``.
 
-    Elements where ``mask`` is False get a rank >= number of True elements.
-    Used to emulate uniform sampling-without-replacement with a dynamic
-    sample count: ``keep = rank < k`` selects ``min(k, count)`` uniformly.
+    Cheaper program than a random-rank construction (an argsort - a
+    (key, index) pair sort - plus a scatter): composite integer keys
+    ``random_bits << idx_bits | index`` are
+    value-sorted once and thresholded at the ``budget``-th smallest.  The
+    keys are unique by construction, so the kept count is exact; the index
+    tie-break inside equal random words makes the selection minutely
+    non-uniform (2^16 random buckets over ~17k anchors), which is
+    training-equivalent to the reference's uniform ``np.random.choice``
+    (utils.py:793-813).
     """
     n = mask.shape[0]
-    r = jax.random.uniform(rng, (n,))
-    keys = jnp.where(mask, r, jnp.inf)
-    order = jnp.argsort(keys)  # True elements first, in random order
-    ranks = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    return ranks
+    idx_bits = max(1, (n - 1).bit_length())
+    rand_bits = min(16, 31 - idx_bits)
+    rbits = jax.random.bits(rng, (n,), jnp.uint32) >> jnp.uint32(32 - rand_bits)
+    keys = (rbits.astype(jnp.int32) << idx_bits) | jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(mask, keys, jnp.iinfo(jnp.int32).max)
+    sorted_keys = jax.lax.sort(keys)
+    thr = jax.lax.dynamic_index_in_dim(
+        sorted_keys, jnp.clip(budget - 1, 0, n - 1), keepdims=False
+    )
+    return mask & (keys <= thr) & (budget > 0)
 
 
 def rpn_targets(
@@ -142,17 +155,23 @@ def rpn_targets(
         anchors_flat[gt_best_anchor], gt_boxes
     )  # (G, 4) target of GT g w.r.t. its best anchor
 
-    def apply_fallback(g, carry):
-        overlap, valid, regr = carry
-        a = gt_best_anchor[g]
-        use = need_fallback[g]
-        overlap = overlap.at[a].set(jnp.where(use, True, overlap[a]))
-        valid = valid.at[a].set(jnp.where(use, True, valid[a]))
-        regr = regr.at[a].set(jnp.where(use, regr_fallback[g], regr[a]))
-        return overlap, valid, regr
-
-    overlap, valid, regr_all = jax.lax.fori_loop(
-        0, gt_boxes.shape[0], apply_fallback, (overlap, valid, regr_all)
+    # Vectorized scatter with the sequential loop's conflict rule: the
+    # reference applies fallbacks GT-by-GT, so when two GTs share a best
+    # anchor the LATER one's regression target wins (utils.py:741-766).
+    # Per anchor that is the max needing-fallback GT index over an (N, G)
+    # match matrix - a masked VPU reduction instead of a G-step fori_loop
+    # of tiny scatters (measured ~1.3 ms/batch of the fused train step).
+    match = need_fallback[None, :] & (
+        gt_best_anchor[None, :] == jnp.arange(n)[:, None]
+    )  # (N, G)
+    win_g = jnp.max(
+        jnp.where(match, jnp.arange(gt_boxes.shape[0])[None, :], -1), axis=1
+    )  # (N,) index of the winning GT, -1 if none
+    has_fb = win_g >= 0
+    overlap = overlap | has_fb
+    valid = valid | has_fb
+    regr_all = jnp.where(
+        has_fb[:, None], regr_fallback[jnp.maximum(win_g, 0)], regr_all
     )
 
     # ------------------------------------------------------------------ #
@@ -165,8 +184,7 @@ def rpn_targets(
     n_neg = jnp.sum(neg_mask)
     half = max_regions // 2
 
-    pos_rank = _rank_among(pos_mask, rng_pos)
-    keep_pos = pos_mask & (pos_rank < half)
+    keep_pos = _keep_random_subset(pos_mask, jnp.asarray(half), rng_pos)
     n_pos_kept = jnp.minimum(n_pos, half)
 
     # Negative budget. The reference keeps exactly n_pos negatives when over
@@ -182,8 +200,7 @@ def rpn_targets(
         neg_budget = jnp.where(n_pos_kept + n_neg > max_regions, n_pos_kept, n_neg)
     else:
         neg_budget = jnp.minimum(n_neg, max_regions - n_pos_kept)
-    neg_rank = _rank_among(neg_mask, rng_neg)
-    keep_neg = neg_mask & (neg_rank < neg_budget)
+    keep_neg = _keep_random_subset(neg_mask, neg_budget, rng_neg)
 
     # Subsampling only clears the *validity* mask; ``overlap`` keeps the full
     # positive set, so the regression mask (repeat(overlap, 4)) still covers

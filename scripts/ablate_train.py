@@ -131,27 +131,34 @@ def main() -> int:
         return carry + metrics["total_loss"].astype(jnp.float32) * 1e-12
 
     train_step = make_train_step(model, config, trunk_trainable=args.trainable_trunk)
+    train_step_donated = make_train_step(
+        model, config, trunk_trainable=args.trainable_trunk, donate=True
+    )
 
     def timed_carry(fn, extra, iters):
         carry = jnp.float32(0.0)
         carry = fn(carry, *extra)  # compile
-        jax.block_until_ready(carry)
+        float(carry)  # real fetch: block_until_ready can return early here
         t0 = time.perf_counter()
         for _ in range(iters):
             carry = fn(carry, *extra)
-        jax.block_until_ready(carry)
+        float(carry)  # barrier by value fetch (CLAUDE.md pitfall #3)
         return (time.perf_counter() - t0) / iters
 
-    def timed_state(iters):
-        st = state
+    def timed_state(iters, step_fn=None):
+        step_fn = step_fn or train_step
+        st = state if step_fn is train_step else create_train_state(
+            model, config, jax.random.PRNGKey(0),
+            base_net_trainable=args.trainable_trunk,
+        )
         k = key
-        st, _ = train_step(st, batch, k)  # compile
-        jax.block_until_ready(st.params)
+        st, m = step_fn(st, batch, k)  # compile
+        float(m["total_loss"])  # real fetch barrier (CLAUDE.md pitfall #3)
         t0 = time.perf_counter()
         for _ in range(iters):
             k, sub = jax.random.split(k)
-            st, _ = train_step(st, batch, sub)
-        jax.block_until_ready(st.params)
+            st, m = step_fn(st, batch, sub)
+        float(m["total_loss"])
         return (time.perf_counter() - t0) / iters
 
     def flops_of(jitted, argspec):
@@ -174,6 +181,10 @@ def main() -> int:
          flops_of(stage_loss_fwd, (z, variables, batch, key, anchors))),
         ("FULL train step", timed_state(it),
          flops_of(train_step._jitted, (state, batch, key, train_step._anchors))),
+        # The production configuration (drivers pass donate=True): params +
+        # Adam moments update in place instead of being copied.
+        ("FULL (donated)", timed_state(it, train_step_donated),
+         flops_of(train_step._jitted, (state, batch, key, train_step._anchors))),
     ]
 
     dev = jax.devices()[0]
@@ -188,7 +199,8 @@ def main() -> int:
     print(f"\ndeltas: loss_fwd - trunk = {(t['loss fwd (all)'] - t['trunk fwd'])*1e3:.2f} ms "
           f"(RPN+targets+proposals+detector targets+head+losses); "
           f"full - loss_fwd = {(t['FULL train step'] - t['loss fwd (all)'])*1e3:.2f} ms "
-          f"(backward+Adam)")
+          f"(backward+Adam+state copies); donation saves "
+          f"{(t['FULL train step'] - t['FULL (donated)'])*1e3:.2f} ms")
     return 0
 
 
