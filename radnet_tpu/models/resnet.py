@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -62,6 +63,76 @@ class Bottleneck(nn.Module):
         return nn.relu(y + sc)
 
 
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv, computed via space-to-depth (resnet50.py:182).
+
+    A 7x7 stride-2 conv over a 3-channel image keeps the MXU's contraction
+    dimension at 7x7x3 over a tiny channel axis, and XLA stores the
+    3-channel activation in a batch-in-lanes layout - measured 3.8 ms of
+    the 8.2 ms trunk forward at <2% MFU (scripts/ablate_cascade.py, batch
+    8 @608^2 on v5e).  The classic TPU fix (MLPerf ResNet) is an exact
+    algebraic rewrite: 2x2 space-to-depth the zero-padded image
+    ``(B, H+6, W+6, 3) -> (B, (H+6)/2, (W+6)/2, 12)`` and apply a 4x4
+    STRIDE-1 conv whose kernel is the 7x7 kernel zero-padded to 8x8 and
+    re-laid-out as ``(4, 4, 12, 64)``:
+
+        out[i,j] = sum_{dy,dx} xpad[2i+dy, 2j+dx] @ W[dy,dx]
+                 = sum_{a,b,p,q} s2d(xpad)[i+a, j+b, (p,q,:)] @ Wpad[2a+p, 2b+q]
+
+    HOW the s2d tensor is built matters as much as the conv form: the
+    naive 6D reshape-transpose runs at the pathological layout and is a
+    net LOSS (4.46 ms vs 3.22 plain, /tmp probe 2026-08-17).  The
+    layout-friendly construction used here is
+      * width s2d as a FREE row-major reshape ``(B,H,W,3)->(B,H,W/2,6)``,
+      * height s2d as an even/odd row slice + channel concat,
+    giving channel order ``(row-parity p, col-parity q, c) = p*6+q*3+c``;
+    the kernel is re-laid-out to match.  Measured 1.74 ms vs 3.22 ms for
+    the plain conv (batch 8 @608^2, carry-threaded A/B in one process).
+
+    Identical arithmetic terms (the added kernel row/col is zero), so
+    outputs match the plain conv to float-accumulation order.  The PARAM
+    is stored in the reference's (7, 7, 3, 64) layout - weight ports
+    (models/weights.py) and the param tree are unchanged; the re-layout
+    happens on 9.4k weights inside jit.  Falls back to the plain conv for
+    odd padded extents (s2d needs H+6, W+6 even).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xpad: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (64,), jnp.float32)
+        b, h, w, c = xpad.shape
+        if h % 2 or w % 2:  # odd canvas: plain strided conv
+            y = jax.lax.conv_general_dilated(
+                xpad.astype(self.dtype),
+                kernel.astype(self.dtype),
+                (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
+        kp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (8, 8, 3, 64)
+        # [2a+p, 2b+q, c, o] -> [a, b, (p*2c + q*c + c), o]
+        kp = (
+            kp.reshape(4, 2, 4, 2, c, 64)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, 64)
+        )
+        x = xpad.astype(self.dtype)
+        xw = x.reshape(b, h, w // 2, 2 * c)  # free reshape: W s2d
+        x2 = jnp.concatenate([xw[:, 0::2], xw[:, 1::2]], axis=-1)  # H s2d
+        y = jax.lax.conv_general_dilated(
+            x2,
+            kp.astype(self.dtype),
+            (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
 class ResNet50Trunk(nn.Module):
     """Stages 1-4; input NHWC image, output stride-16 1024-ch feature map."""
 
@@ -69,10 +140,9 @@ class ResNet50Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
         x = x.astype(self.dtype)
         x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))  # ZeroPadding2D((3,3))
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="VALID", name="conv1", **kw)(x)
+        x = StemConv(dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn_conv1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")

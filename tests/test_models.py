@@ -78,3 +78,34 @@ def test_resnet_bf16_compute_keeps_fp32_params():
     variables = model.init({"params": jax.random.PRNGKey(0)}, img, rois)
     leaves = jax.tree_util.tree_leaves(variables["params"])
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_stem_conv_matches_plain_conv():
+    """StemConv's space-to-depth rewrite is numerically the plain 7x7/2 conv.
+
+    The s2d form (free W-reshape + H even/odd interleave, kernel re-laid-out
+    to the (row-parity, col-parity, c) channel order) computes identical
+    arithmetic terms, so f32 outputs must agree to accumulation-order
+    rounding on the even-extent path and exactly dispatch the plain conv on
+    the odd-extent fallback (resnet50.py:182).
+    """
+    from radnet_tpu.models.resnet import StemConv
+
+    rng = np.random.default_rng(0)
+    kernel = jnp.asarray(rng.normal(0, 0.05, (7, 7, 3, 64)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, (64,)).astype(np.float32))
+    variables = {"params": {"kernel": kernel, "bias": bias}}
+    stem = StemConv()
+
+    for hw in (38, 37):  # even: s2d path; odd: plain-conv fallback
+        x = jnp.asarray(
+            rng.normal(0, 64, (2, hw, hw, 3)).astype(np.float32) + 127
+        )
+        want = jax.lax.conv_general_dilated(
+            x, kernel, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        got = stem.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-3
+        )
