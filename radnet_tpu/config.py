@@ -155,6 +155,11 @@ class Config:
     # surviving proposals.  None = reference parity (all post_nms_top_n).
     max_head_rois: int | None = None
     infer_tile_batch: int = 8  # tiles per compiled inference call
+    # Dispatch a panel's remainder tiles through a half-size compiled
+    # program when they fit (e.g. 36 tiles = 4x8 + 1x4): the tail batch
+    # otherwise pads with dead tiles, ~10% of panel device time at the
+    # bench geometry.  Costs one extra cached compile per program family.
+    infer_tail_subbatch: bool = True
     # Slice+resize tiles on device from a panel shipped to HBM once
     # (False: host-side cv2 tiling with async per-batch shipping).
     infer_device_tiling: bool = True

@@ -275,3 +275,51 @@ def test_interleaved_dispatch_collect_matches_serial(radnet):
     key = lambda d: (d["class"], d["x1"], d["y1"], d["x2"], d["y2"], round(d["prob"], 6))
     for a, b in zip(serial, interleaved):
         assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_batch_schedule_tail_subbatch(radnet):
+    """Remainders that fit in bs//2 dispatch through the half program."""
+    bs = radnet.C.infer_tile_batch
+    assert bs == 2
+    assert radnet._batch_schedule(5) == [(0, 2), (2, 2), (4, 1)]
+    assert radnet._batch_schedule(4) == [(0, 2), (2, 2)]
+    assert radnet._batch_schedule(1) == [(0, 1)]
+    radnet.C.infer_tile_batch = 8
+    try:
+        assert radnet._batch_schedule(36) == [
+            (0, 8), (8, 8), (16, 8), (24, 8), (32, 4)]
+        assert radnet._batch_schedule(8) == [(0, 8)]
+        assert radnet._batch_schedule(1) == [(0, 4)]
+        assert radnet._batch_schedule(5) == [(0, 8)]  # 5 > bs//2: no saving
+        assert radnet._batch_schedule(12) == [(0, 8), (8, 4)]
+        radnet.C.infer_tail_subbatch = False
+        assert radnet._batch_schedule(12) == [(0, 8), (8, 8)]
+    finally:
+        radnet.C.infer_tile_batch = bs
+        radnet.C.infer_tail_subbatch = True
+
+
+def test_tail_subbatch_detections_match_full_batches():
+    """The half-size tail program yields the same detections as padded
+    full batches (the padding tiles were never drained either way)."""
+    rng = np.random.default_rng(11)
+    panel = rng.integers(0, 255, (100, 228, 3), dtype=np.uint8)  # 21 tiles
+
+    def run(tail):
+        cfg = tiny_config("vgg16")
+        cfg.bbox_threshold = 0.0
+        cfg.infer_tail_subbatch = tail
+        model = build_model(cfg)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+        net = RADNet(cfg, model, state.params, state.batch_stats)
+        from radnet_tpu.data.tiling import plan_tiles
+        n = len(plan_tiles(panel.shape[1], panel.shape[0],
+                           cfg.tile_size, cfg.tile_overlap))
+        assert n % cfg.infer_tile_batch, "panel must exercise the tail"
+        assert net._batch_schedule(n)[-1][1] == (1 if tail else 2)
+        return net.predict([panel])
+
+    a, b = run(True), run(False)
+    ka = sorted((d["class"], d["x1"], d["y1"], d["x2"], d["y2"]) for d in a)
+    kb = sorted((d["class"], d["x1"], d["y1"], d["x2"], d["y2"]) for d in b)
+    assert ka == kb
