@@ -90,14 +90,18 @@ def cascade_mfu(radnet, device_tile_sec: float, batch: int, peak_flops: float = 
 
 
 def time_train_step(config_overrides=None, n_steps: int = 60, peak_flops: float = 197e12):
-    """(steps/s, images/s, train MFU) of the fused train step
-    (device-resident batches).  MFU from XLA's own cost model: compiled
-    flops / measured step time / chip peak (197 TF bf16 on v5e)."""
+    """(steps/s, images/s, train MFU) of the production training path:
+    the donated fused step dispatched in ``train_bundle_steps``-step scan
+    bundles, exactly as the train CLIs run it (engine/steps.py::
+    make_train_bundle - bundling amortizes the fixed per-dispatch latency,
+    ~11 ms/step through the tunnel, with a bit-identical trajectory).
+    MFU from XLA's own cost model: compiled flops / measured step time /
+    chip peak (197 TF bf16 on v5e)."""
     import jax
     import jax.numpy as jnp
 
     from radnet_tpu.config import Config
-    from radnet_tpu.engine.steps import make_train_step
+    from radnet_tpu.engine.steps import make_train_bundle, make_train_step
     from radnet_tpu.engine.train_state import create_train_state
     from radnet_tpu.models.detector import build_model
 
@@ -122,14 +126,27 @@ def time_train_step(config_overrides=None, n_steps: int = 60, peak_flops: float 
         "sample_valid": jnp.ones((b,), bool),
     }
     key = jax.random.PRNGKey(1)
-    state, _ = train_step(state, batch, key)  # compile
-    jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub)
-    jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / n_steps
+    K = max(1, int(config.train_bundle_steps))
+    if K > 1:
+        bundle = make_train_bundle(model, config, K, donate=True)
+        batches = [batch] * K
+        state, key, _ = bundle(state, batches, key)  # compile
+        jax.block_until_ready(state.params)
+        n_bundles = max(1, n_steps // K)
+        t0 = time.perf_counter()
+        for _ in range(n_bundles):
+            state, key, metrics = bundle(state, batches, key)
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / (n_bundles * K)
+    else:
+        state, _ = train_step(state, batch, key)  # compile
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, sub)
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / n_steps
     try:
         comp = train_step._jitted.lower(
             state, batch, key, train_step._anchors

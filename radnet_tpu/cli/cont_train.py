@@ -33,7 +33,7 @@ from radnet_tpu.data.pipeline import (
 )
 from radnet_tpu.engine import checkpoint as ckpt
 from radnet_tpu.engine.loop import fit
-from radnet_tpu.engine.steps import make_eval_step, make_train_step
+from radnet_tpu.engine.steps import make_eval_step, make_train_bundle, make_train_step
 from radnet_tpu.engine.train_state import create_train_state
 from radnet_tpu.models.detector import build_model
 
@@ -118,6 +118,14 @@ def main(argv=None) -> int:
     train_step = make_train_step(
         model, config, trunk_trainable=config.base_net_cont_trainable, donate=True
     )
+    train_bundle = (
+        make_train_bundle(
+            model, config, config.train_bundle_steps,
+            trunk_trainable=config.base_net_cont_trainable, donate=True,
+        )
+        if config.train_bundle_steps > 1
+        else None
+    )
     eval_step = make_eval_step(model, config) if use_val else None
 
     train_samples = parallel_sample_generator(
@@ -156,6 +164,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         best_total_loss=best,
         record=record,
+        train_bundle=train_bundle,
     )
     print("Training Complete! Exiting.")
     return 0

@@ -29,7 +29,7 @@ from radnet_tpu.data.pipeline import (
     tile_sample_generator,
 )
 from radnet_tpu.engine.loop import create_model_folder, fit
-from radnet_tpu.engine.steps import make_eval_step, make_train_step
+from radnet_tpu.engine.steps import make_eval_step, make_train_bundle, make_train_step
 from radnet_tpu.engine.train_state import create_train_state
 from radnet_tpu.models.detector import build_model
 
@@ -183,6 +183,11 @@ def main(argv=None) -> int:
     mesh = mesh_from_args(args)
     state, batch_sh = shard_for_mesh(config, state, mesh)
     train_step = make_train_step(model, config, donate=True)
+    train_bundle = (
+        make_train_bundle(model, config, config.train_bundle_steps, donate=True)
+        if config.train_bundle_steps > 1
+        else None
+    )
     eval_step = make_eval_step(model, config) if use_val else None
 
     # Pipelines.
@@ -220,6 +225,7 @@ def main(argv=None) -> int:
         eval_step=eval_step,
         val_batches_factory=val_factory if use_val else None,
         seed=args.seed,
+        train_bundle=train_bundle,
     )
     print("Training Complete! Exiting.")
     return 0

@@ -132,6 +132,13 @@ class Config:
     # ------------------------------------------------------------------ #
     canvas_size: int = 608  # 608 -> 38x38 feature map for both backbones
     batch_size: int = 8  # tiles per train step (reference: 1 image/step)
+    # Optimizer steps fused into one dispatched program (lax.scan over
+    # stacked batches, engine/steps.py::make_train_bundle).  Amortizes the
+    # fixed per-dispatch host->device latency (~11 ms/step on the tunneled
+    # backend: 36.7 -> 25.4 ms/step measured) across real updates; the
+    # training trajectory is bit-identical to unbundled steps (same RNG
+    # split sequence, same batch order).  1 disables bundling.
+    train_bundle_steps: int = 4
     max_gt_boxes: int = 64  # GT boxes per tile, padded
     rpn_max_regions: int = 256  # pos+neg anchor budget (utils.py:785)
     # True replicates the reference's 1:1 negative rebalance

@@ -159,8 +159,16 @@ def fit(
     best_total_loss: float = float("inf"),
     record: pd.DataFrame | None = None,
     verbose: bool = True,
+    train_bundle: Callable | None = None,
 ) -> tuple[TrainState, pd.DataFrame]:
-    """Run the training loop; returns the final state and the record table."""
+    """Run the training loop; returns the final state and the record table.
+
+    ``train_bundle`` (optional, from ``make_train_bundle``) runs K
+    optimizer steps per dispatch; full K-groups of an epoch go through it
+    and the remainder through ``train_step``.  The trajectory is identical
+    either way (the bundle replicates this loop's per-step RNG split);
+    only dispatch overhead changes.
+    """
     create_model_folder(model_path)
     record_path = os.path.join(model_path, "record.csv")
     metrics_log = open(os.path.join(model_path, "metrics.jsonl"), "a")
@@ -188,15 +196,36 @@ def fit(
                 print(f"Epoch {epoch + 1}/{n_epochs}")
             epoch_metrics: list[dict[str, Any]] = []
 
-            for _ in range(epoch_length):
-                batch = next(train_batches)
-                rng, step_rng = jax.random.split(rng)
-                state, metrics = train_step(state, batch, step_rng)
-                epoch_metrics.append(metrics)
-                train_step_count += 1
+            bundle_k = getattr(train_bundle, "_bundle_steps", 1) if train_bundle else 1
+            done = 0
+            while done < epoch_length:
+                if bundle_k > 1 and epoch_length - done >= bundle_k:
+                    batches = [next(train_batches) for _ in range(bundle_k)]
+                    state, rng, metrics = train_bundle(state, batches, rng)
+                    epoch_metrics.append(metrics)  # stacked (K,) scalars
+                    done += bundle_k
+                    train_step_count += bundle_k
+                else:
+                    batch = next(train_batches)
+                    rng, step_rng = jax.random.split(rng)
+                    state, metrics = train_step(state, batch, step_rng)
+                    epoch_metrics.append(metrics)
+                    done += 1
+                    train_step_count += 1
 
-            # Host sync once per epoch; log per-step scalars.
-            epoch_metrics = jax.device_get(epoch_metrics)
+            # Host sync once per epoch; log per-step scalars (bundled
+            # entries carry a leading K axis - flatten after the fetch).
+            fetched = jax.device_get(epoch_metrics)
+            epoch_metrics = []
+            for m in fetched:
+                lead = np.ndim(next(iter(m.values())))
+                if lead:
+                    k = len(next(iter(m.values())))
+                    epoch_metrics.extend(
+                        {key: v[i] for key, v in m.items()} for i in range(k)
+                    )
+                else:
+                    epoch_metrics.append(m)
             for i, m in enumerate(epoch_metrics):
                 step_no = train_step_count - epoch_length + i
                 metrics_log.write(

@@ -280,6 +280,70 @@ def make_train_step(
     return fn
 
 
+def make_train_bundle(
+    model: FasterRCNN,
+    config: Config,
+    n_steps: int,
+    trunk_trainable: bool | None = None,
+    donate: bool = False,
+) -> Callable:
+    """Fuse ``n_steps`` optimizer steps into ONE dispatched program.
+
+    ``lax.scan`` over ``n_steps`` stacked batches: each host->device
+    dispatch carries a fixed per-call latency (on the tunneled backend
+    ~11 ms/step - measured 36.7 ms/step dispatched singly vs 25.4 ms/step
+    inside a bundle, batch 8 VGG16 @608^2 on v5e-1; on directly-attached
+    hosts the same overhead is smaller but nonzero), and bundling amortizes
+    it across ``n_steps`` real updates.
+
+    The training trajectory is IDENTICAL to ``n_steps`` single
+    ``make_train_step`` calls: the scan body performs the same
+    ``rng, sub = jax.random.split(rng)`` the training loop performs per
+    step (engine/loop.py), so the RNG stream, batch order and arithmetic
+    all match (pinned by tests/test_train_step.py).
+
+    Returns ``fn(state, batches, rng) -> (new_state, new_rng, metrics)``
+    where ``batches`` is a sequence of ``n_steps`` batch dicts and every
+    metric comes back stacked with a leading ``n_steps`` axis.  ``donate``
+    has the same contract as :func:`make_train_step` (the input state's
+    buffers are consumed).
+    """
+    if trunk_trainable is None:
+        trunk_trainable = config.base_net_trainable
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    anchors = _device_anchors(config)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_bundle(state: TrainState, batches, rng, anchors):
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+        def body(carry, batch):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+
+            def loss_fn(params):
+                return compute_losses(
+                    model, config, params, state.batch_stats, batch, sub,
+                    False, anchors=anchors, trunk_frozen=not trunk_trainable,
+                )
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return (state.apply_gradients(grads), rng), metrics
+
+        (state, rng), metrics = jax.lax.scan(body, (state, rng), stacked)
+        return state, rng, metrics
+
+    fn = lambda state, batches, rng: train_bundle(state, tuple(batches), rng, anchors)
+    fn._jitted = train_bundle
+    fn._anchors = anchors
+    fn._donates = donate
+    fn._bundle_steps = n_steps
+    return fn
+
+
 def make_eval_step(model: FasterRCNN, config: Config) -> Callable:
     """Build the jitted eval step (losses only, no dropout, no update)."""
     anchors = _device_anchors(config)

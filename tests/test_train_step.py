@@ -1,5 +1,7 @@
 """Fused train step: losses finite, params update, frozen layers stay put."""
 
+import json
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -143,3 +145,91 @@ def test_donated_train_step_matches_and_fits(tmp_path):
     assert os.path.isdir(os.path.join(model_path, "ckpt_last"))
     rec = pd.read_csv(os.path.join(model_path, "record.csv"))
     assert np.isfinite(rec["total_loss"]).all()
+
+
+def test_bundle_matches_single_steps():
+    """A K-step scan bundle must reproduce K single steps exactly: same
+    RNG split sequence (engine/loop.py's per-step ``rng, sub = split``),
+    same batch order, same params/metrics/final key."""
+    from radnet_tpu.engine.steps import make_train_bundle
+
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    batches = [
+        {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, seed=i).items()}
+        for i in range(3)
+    ]
+
+    step = make_train_step(model, cfg)
+    bundle = make_train_bundle(model, cfg, 3)
+    assert bundle._bundle_steps == 3
+
+    s1 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    s2 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(7)
+
+    r, singles = rng, []
+    for b in batches:
+        r, sub = jax.random.split(r)
+        s1, m = step(s1, b, sub)
+        singles.append(m)
+    s2, r2, stacked = bundle(s2, batches, rng)
+
+    np.testing.assert_array_equal(jax.device_get(r), jax.device_get(r2))
+    singles, stacked = jax.device_get((singles, stacked))
+    for i, m in enumerate(singles):
+        for k, v in m.items():
+            np.testing.assert_allclose(
+                stacked[k][i], v, rtol=1e-6, err_msg=f"step {i} {k}"
+            )
+    p1, p2 = jax.device_get((s1.params, s2.params))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6), p1, p2
+    )
+    assert int(s2.step) == 3
+
+
+def test_fit_with_bundle_matches_unbundled(tmp_path):
+    """fit() with a bundle (incl. a remainder tail: epoch_length=5, K=2)
+    writes the same record/metrics and reaches the same params as the
+    unbundled loop."""
+    import pandas as pd
+
+    from radnet_tpu.engine.loop import fit
+    from radnet_tpu.engine.steps import make_train_bundle
+
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()}
+
+    def batches():
+        while True:
+            yield batch
+
+    step = make_train_step(model, cfg)
+    bundle = make_train_bundle(model, cfg, 2)
+
+    results = []
+    for tb in (None, bundle):
+        path = str(tmp_path / ("bundled" if tb else "plain"))
+        st = create_train_state(model, cfg, jax.random.PRNGKey(0))
+        st, record = fit(
+            cfg, st, step, batches(), path,
+            epoch_length=5, n_epochs=1, verbose=False, train_bundle=tb,
+        )
+        with open(f"{path}/metrics.jsonl") as f:
+            lines = [json.loads(line) for line in f]
+        results.append((st, record, lines))
+
+    (s_plain, rec_plain, log_plain), (s_bund, rec_bund, log_bund) = results
+    assert len(log_plain) == len(log_bund) == 5
+    for a, b in zip(log_plain, log_bund):
+        assert a["step"] == b["step"]
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, err_msg=k)
+    pd.testing.assert_frame_equal(rec_plain.drop(columns=["elapsed_time"]),
+                                  rec_bund.drop(columns=["elapsed_time"]))
+    pa, pb = jax.device_get((s_plain.params, s_bund.params))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6), pa, pb
+    )
