@@ -56,6 +56,11 @@ class Config:
     # scale-free; one extra bicubic resample).  Turn off to reproduce the
     # reference's augment-then-resize order exactly.
     augment_at_canvas_scale: bool = True
+    # Byte budget (MB) for the prescaled-tile LRU cache: the crop+resize
+    # of a tile window is deterministic per (panel, type, window, size), so
+    # epochs after the first skip straight to augmentation (the crop copy
+    # + bicubic prescale are ~half the per-sample host cost).  0 disables.
+    prescaled_tile_cache_mb: int = 256
 
     # ------------------------------------------------------------------ #
     # Image types (reference config.py:28-33)

@@ -20,6 +20,21 @@ import numpy as np
 import pandas as pd
 
 
+def choose_img_type(
+    types: list[str], rng: np.random.Generator | None = None
+) -> str:
+    """Draw one image type with the reference's weighting: the first type
+    gets probability 0.3 (0.5 when there are <= 3 types) and the rest share
+    the remainder uniformly (utils.py:115-122)."""
+    if len(types) <= 1:
+        return types[0]
+    rng = rng or np.random.default_rng()
+    first_prob = 0.5 if len(types) <= 3 else 0.3
+    rest = (1.0 - first_prob) / (len(types) - 1)
+    probs = [first_prob] + [rest] * (len(types) - 1)
+    return rng.choice(types, p=probs)
+
+
 def get_image(
     img_path: str,
     types: list[str],
@@ -37,13 +52,7 @@ def get_image(
     ``writable=True`` when the caller draws on the image in place (the
     visualization CLIs) - that costs one copy on a cache hit.
     """
-    img_type = types[0]
-    if random_type and len(types) > 1:
-        rng = rng or np.random.default_rng()
-        first_prob = 0.5 if len(types) <= 3 else 0.3
-        rest = (1.0 - first_prob) / (len(types) - 1)
-        probs = [first_prob] + [rest] * (len(types) - 1)
-        img_type = rng.choice(types, p=probs)
+    img_type = choose_img_type(types, rng) if random_type else types[0]
 
     # Layout contract (utils.py:124-126): the image-type directory is the
     # *second* path segment, i.e. ``<data_root>/<img_type>/<...>/<file>``.

@@ -32,7 +32,7 @@ import jax
 
 from radnet_tpu.config import Config
 from radnet_tpu.data import augment as aug
-from radnet_tpu.data.dataset import SampleSelector, get_image
+from radnet_tpu.data.dataset import SampleSelector, choose_img_type, get_image
 from radnet_tpu.data.tiling import clip_boxes_to_tile, plan_tiles
 
 # Keras 'caffe'-mode preprocessing constant: the reference converts BGR->RGB
@@ -72,7 +72,13 @@ def resize_to_canvas(
     scale = float(img_size) / max(h, w)
     new_w = max(1, int(round(w * scale)))
     new_h = max(1, int(round(h * scale)))
-    resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
+    if (new_w, new_h) == (w, h):
+        # Identity resize (common when the tile was prescaled to img_size
+        # before augmentation): cv2's 1:1 bicubic lands exactly on source
+        # pixels, so skipping it is bit-identical and saves ~1 ms/sample.
+        resized = img
+    else:
+        resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
     canvas = np.zeros((canvas_size, canvas_size, 3), dtype=resized.dtype)
     canvas[:new_h, :new_w] = resized
     return canvas, scale, new_w, new_h
@@ -94,6 +100,14 @@ def prescale_for_augment(
     new_w = max(1, int(round(w * scale)))
     new_h = max(1, int(round(h * scale)))
     img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
+    return img, scale_meta_boxes(meta, w, h, new_w, new_h)
+
+
+def scale_meta_boxes(
+    meta: dict[str, Any], w: int, h: int, new_w: int, new_h: int
+) -> dict[str, Any]:
+    """Scale ``meta``'s bbox dicts from (w, h) to (new_w, new_h) space
+    (the box half of :func:`prescale_for_augment`)."""
     sx, sy = new_w / float(w), new_h / float(h)
     boxes = []
     for b in meta["bboxes"]:
@@ -113,7 +127,74 @@ def prescale_for_augment(
     meta["bboxes"] = boxes
     meta["width"] = new_w
     meta["height"] = new_h
-    return img, meta
+    return meta
+
+
+# --------------------------------------------------------------------------- #
+# Prescaled-tile LRU cache.  The crop + bicubic prescale of a tile window
+# is deterministic per (resolved panel path, window, target size) - only
+# the augmentation after it is random - and together they are ~half of the
+# warm per-sample host cost (measured 7 of 15 ms at the 2400-panel/1216-
+# tile synthetic geometry).  Epoch 2+ revisits the same windows, so a
+# byte-bounded cache turns both into a lookup.  Entries are read-only
+# (augmentation is functional over its input, like the decoded-panel
+# cache's contract in data/dataset.py).
+# --------------------------------------------------------------------------- #
+_tile_cache: "dict[tuple, np.ndarray]" = {}
+_tile_cache_lock = threading.Lock()
+_tile_cache_bytes = 0
+
+
+def _tile_cache_clear() -> None:  # test hook
+    global _tile_cache_bytes
+    with _tile_cache_lock:
+        _tile_cache.clear()
+        _tile_cache_bytes = 0
+
+
+def crop_tile_prescaled(
+    img: np.ndarray,
+    tile: tuple[int, int, int, int],
+    config: Config,
+    cache_key: tuple | None = None,
+    prescale: bool = True,
+) -> np.ndarray:
+    """Crop ``tile`` (x1, y1, x2, y2) out of ``img`` and, when ``prescale``,
+    resize its longest side down to ``config.img_size``.  With a
+    ``cache_key`` the result is memoized in a byte-bounded LRU
+    (``Config.prescaled_tile_cache_mb``); cached arrays are read-only."""
+    global _tile_cache_bytes
+    budget = config.prescaled_tile_cache_mb * 1024 * 1024
+    if cache_key is not None and budget > 0:
+        with _tile_cache_lock:
+            hit = _tile_cache.get(cache_key)
+            if hit is not None:
+                return hit
+
+    out = np.ascontiguousarray(img[tile[1] : tile[3], tile[0] : tile[2], :])
+    if prescale:
+        h, w = out.shape[:2]
+        if max(h, w) > config.img_size:
+            scale = float(config.img_size) / max(h, w)
+            new_w = max(1, int(round(w * scale)))
+            new_h = max(1, int(round(h * scale)))
+            out = cv2.resize(out, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
+
+    if cache_key is not None and 0 < out.nbytes <= budget:
+        out.setflags(write=False)
+        with _tile_cache_lock:
+            prev = _tile_cache.pop(cache_key, None)
+            if prev is not None:
+                _tile_cache_bytes -= prev.nbytes
+            while _tile_cache and _tile_cache_bytes + out.nbytes > budget:
+                # dicts preserve insertion order; popping the first item is
+                # FIFO eviction - cheap and close enough to LRU for the
+                # epoch-cyclic access pattern (every live key is touched
+                # once per epoch, so recency and insertion age coincide).
+                _tile_cache_bytes -= _tile_cache.pop(next(iter(_tile_cache))).nbytes
+            _tile_cache[cache_key] = out
+            _tile_cache_bytes += out.nbytes
+    return out
 
 
 def make_sample(
@@ -282,14 +363,29 @@ def tile_sample_generator(
                 tile = tiles[remaining[pick]]
                 remaining = np.delete(remaining, pick)
 
+                img_type = config.img_types[0]
                 if config.use_img_type:
                     # The reference re-reads the image per tile so each tile
                     # can come from a randomly chosen image type
-                    # (utils.py:390).
+                    # (utils.py:390).  The type draw happens here (same rng
+                    # call, same stream) so the tile cache can key on it.
+                    img_type = choose_img_type(config.img_types, rng)
                     img = image_loader(
-                        img_data["filepath"], config.img_types, random_type=True, rng=rng
+                        img_data["filepath"], [img_type], random_type=False
                     )
-                tile_img = np.copy(img[tile[1] : tile[3], tile[0] : tile[2], :])
+                prescale = train_mode and config.augment_at_canvas_scale
+                tile_img = crop_tile_prescaled(
+                    img,
+                    tuple(int(v) for v in tile),
+                    config,
+                    cache_key=(
+                        img_data["filepath"],
+                        img_type,
+                        tuple(int(v) for v in tile),
+                        config.img_size if prescale else 0,
+                    ),
+                    prescale=prescale,
+                )
                 boxes_arr = np.array(
                     [[b["x1"], b["y1"], b["x2"], b["y2"]] for b in img_data["bboxes"]]
                 )
@@ -309,10 +405,11 @@ def tile_sample_generator(
                     tile_boxes[i]["x2"] = int(np.ceil(clipped[i, 2] - tile[0]))
                     tile_boxes[i]["y2"] = int(np.ceil(clipped[i, 3] - tile[1]))
 
+                tw, th = int(tile[2] - tile[0]), int(tile[3] - tile[1])
                 tile_data = {
                     "filepath": img_data["filepath"],
-                    "width": tile_img.shape[1],
-                    "height": tile_img.shape[0],
+                    "width": tw,
+                    "height": th,
                     "bboxes": tile_boxes,
                 }
                 if (
@@ -322,9 +419,12 @@ def tile_sample_generator(
                 ):
                     continue
 
-                if train_mode and config.augment_at_canvas_scale:
-                    tile_img, tile_data = prescale_for_augment(
-                        tile_img, tile_data, config
+                if (tile_img.shape[1], tile_img.shape[0]) != (tw, th):
+                    # The image half of the prescale already happened inside
+                    # crop_tile_prescaled (possibly as a cache hit); bring
+                    # the boxes to the same scale.
+                    tile_data = scale_meta_boxes(
+                        tile_data, tw, th, tile_img.shape[1], tile_img.shape[0]
                     )
                 tile_data, tile_img = aug.augment(
                     tile_data, tile_img, config, do_augment=train_mode, rng=rng

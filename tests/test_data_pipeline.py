@@ -462,3 +462,85 @@ def test_make_device_preparer():
     # float batches pass through untouched
     fbatch = {"image": jnp.asarray(img.astype(np.float32))}
     assert prep_train(fbatch) is fbatch
+
+
+# --------------------------------------------------------------------------- #
+# Prescaled-tile cache
+# --------------------------------------------------------------------------- #
+def test_prescaled_tile_cache_is_transparent(tmp_path, monkeypatch):
+    """Cache on vs off must yield a bit-identical sample stream (2 epochs:
+    epoch 2 is all hits), including per-tile random image types."""
+    import cv2
+
+    from radnet_tpu.data import pipeline
+
+    cfg = tiny_config()
+    cfg.tile_size = 100  # one 100x100 tile per panel > img_size -> prescale
+    cfg.tile_overlap = 50
+    cfg.use_noise = False
+    cfg.use_img_type = True
+    cfg.img_types = ["typeA", "typeB"]
+    _write_synthetic_dataset(tmp_path, cfg)
+    # second image type: shifted copies so type choice changes pixel content
+    src = tmp_path / "data" / "typeA"
+    dst = tmp_path / "data" / "typeB"
+    dst.mkdir(parents=True)
+    for f in src.iterdir():
+        img = cv2.imread(str(f))
+        cv2.imwrite(str(dst / f.name), np.roll(img, 7, axis=0))
+    monkeypatch.chdir(tmp_path)
+    data, class_count, _ = get_data("annot.csv", "data", cfg.img_types)
+
+    def collect(cache_mb):
+        pipeline._tile_cache_clear()
+        cfg.prescaled_tile_cache_mb = cache_mb
+        gen = tile_sample_generator(
+            data, cfg, class_count, cfg.class_mapping, train_mode=True, seed=3
+        )
+        return [next(gen) for _ in range(12)]
+
+    plain, cached = collect(0), collect(64)
+    assert pipeline._tile_cache  # the cached run actually populated it
+    for a, b in zip(plain, cached):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_prescaled_tile_cache_budget_and_hits():
+    from radnet_tpu.data import pipeline
+
+    pipeline._tile_cache_clear()
+    cfg = tiny_config()
+    cfg.prescaled_tile_cache_mb = 1
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (300, 300, 3)).astype(np.uint8)
+    for i in range(2, 200):
+        t = (0, 0, 100 + i, 100 + i)
+        pipeline.crop_tile_prescaled(img, t, cfg, cache_key=("p", "a", t, 60))
+    assert 0 < pipeline._tile_cache_bytes <= 1024 * 1024
+    assert len(pipeline._tile_cache) < 198  # evictions happened
+
+    t = (0, 0, 150, 150)
+    a = pipeline.crop_tile_prescaled(img, t, cfg, cache_key=("q", "a", t, 60))
+    b = pipeline.crop_tile_prescaled(img, t, cfg, cache_key=("q", "a", t, 60))
+    assert a is b and not a.flags.writeable
+    assert max(a.shape[:2]) == 60  # prescaled to img_size
+    # distinct type/key -> distinct entry
+    c = pipeline.crop_tile_prescaled(img, t, cfg, cache_key=("q", "b", t, 60))
+    assert c is not a
+    pipeline._tile_cache_clear()
+
+
+def test_resize_to_canvas_identity_skip():
+    """When the longest side already equals img_size the resize is skipped;
+    guard that cv2's 1:1 bicubic really is the identity it replaces."""
+    import cv2
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (60, 45, 3)).astype(np.uint8)
+    canvas, scale, new_w, new_h = resize_to_canvas(img, 60, 64)
+    assert scale == 1.0 and (new_w, new_h) == (45, 60)
+    np.testing.assert_array_equal(canvas[:60, :45], img)
+    np.testing.assert_array_equal(
+        cv2.resize(img, (45, 60), interpolation=cv2.INTER_CUBIC), img
+    )
