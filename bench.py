@@ -240,7 +240,9 @@ def main() -> int:
     # vs_baseline: the CPU-proxy tile time is PINNED in BASELINE.json
     # (measured once on this host) so BENCH_r*.json is comparable across
     # rounds - the live proxy re-measurement swings ~2x run-to-run with
-    # host load.  The live number is still reported in detail.
+    # host load.  The live proxy (~50 s to measure) is only run as a
+    # fallback when no pinned value exists; detail.cpu_tile_sec_live is
+    # null otherwise.
     cpu_tile_live = float("nan")
     pinned_cpu_tile = float("nan")
     try:

@@ -92,7 +92,9 @@ def main(argv=None) -> int:
     if args.warmup_size:
         s = args.warmup_size
         warm = np.zeros((s, s, 3), np.uint8)
-        radnet.predict([warm])
+        # warmup (not a plain predict) also compiles the tail half-batch
+        # program, so the first real panel never blocks on a compile.
+        radnet.warmup(warm)
 
     print("READY", file=sys.stderr, flush=True)
 

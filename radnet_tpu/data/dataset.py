@@ -61,13 +61,17 @@ def get_image(
     path = os.path.join(*parts)
     if img_path.startswith("/"):  # preserve absolute roots
         path = "/" + path.lstrip("/")
-    cached = _decoded_cache_get(path)
+    # The cache is process-global, so it keys on the RESOLVED path: the
+    # typically-relative filepath from get_data would collide across
+    # chdirs / same-layout datasets and silently serve stale panels.
+    key = os.path.abspath(path)
+    cached = _decoded_cache_get(key)
     if cached is not None:
         return cached.copy() if writable else cached
     img = cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(f"cannot decode image: {path}")
-    _decoded_cache_put(path, img)
+    _decoded_cache_put(key, img)
     return img.copy() if writable else img
 
 

@@ -21,6 +21,7 @@ utils.py:222-552).  Key differences, by design:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Any, Iterator
@@ -61,6 +62,16 @@ def preprocess_on_device(images):
     return images.astype(jnp.float32)
 
 
+def longest_side_dims(w: int, h: int, img_size: int) -> tuple[int, int]:
+    """Longest-side-to-``img_size`` resize dims (aspect preserved, >=1 px).
+
+    Single source of the prescale rounding rule: :func:`resize_to_canvas`,
+    :func:`prescale_for_augment` and :func:`crop_tile_prescaled` must agree
+    bit-for-bit (the tile cache's transparency depends on it)."""
+    scale = float(img_size) / max(h, w)
+    return max(1, int(round(w * scale))), max(1, int(round(h * scale)))
+
+
 def resize_to_canvas(
     img: np.ndarray, img_size: int, canvas_size: int
 ) -> tuple[np.ndarray, float, int, int]:
@@ -70,8 +81,7 @@ def resize_to_canvas(
     Returns (canvas, scale, valid_w, valid_h)."""
     h, w = img.shape[:2]
     scale = float(img_size) / max(h, w)
-    new_w = max(1, int(round(w * scale)))
-    new_h = max(1, int(round(h * scale)))
+    new_w, new_h = longest_side_dims(w, h, img_size)
     if (new_w, new_h) == (w, h):
         # Identity resize (common when the tile was prescaled to img_size
         # before augmentation): cv2's 1:1 bicubic lands exactly on source
@@ -96,9 +106,7 @@ def prescale_for_augment(
     h, w = img.shape[:2]
     if max(h, w) <= config.img_size:
         return img, meta
-    scale = float(config.img_size) / max(h, w)
-    new_w = max(1, int(round(w * scale)))
-    new_h = max(1, int(round(h * scale)))
+    new_w, new_h = longest_side_dims(w, h, config.img_size)
     img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
     return img, scale_meta_boxes(meta, w, h, new_w, new_h)
 
@@ -175,9 +183,7 @@ def crop_tile_prescaled(
     if prescale:
         h, w = out.shape[:2]
         if max(h, w) > config.img_size:
-            scale = float(config.img_size) / max(h, w)
-            new_w = max(1, int(round(w * scale)))
-            new_h = max(1, int(round(h * scale)))
+            new_w, new_h = longest_side_dims(w, h, config.img_size)
             out = cv2.resize(out, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
 
     if cache_key is not None and 0 < out.nbytes <= budget:
@@ -321,6 +327,13 @@ def tile_sample_generator(
     rng = np.random.default_rng(seed)
     selector = SampleSelector(class_count)
     data = list(data)
+    # The tile cache is process-global, so tiles are only cached when they
+    # are a pure function of the key: the default loader reads pixels from
+    # the filesystem, making (absolute path, img_type, window, size) a
+    # complete identity.  Relative paths would collide across chdirs /
+    # same-layout datasets, and a custom image_loader's output need not
+    # depend on the path at all - those runs bypass the cache.
+    cacheable = image_loader is get_image
 
     while True:
         if train_mode:
@@ -379,10 +392,14 @@ def tile_sample_generator(
                     tuple(int(v) for v in tile),
                     config,
                     cache_key=(
-                        img_data["filepath"],
-                        img_type,
-                        tuple(int(v) for v in tile),
-                        config.img_size if prescale else 0,
+                        (
+                            os.path.abspath(img_data["filepath"]),
+                            img_type,
+                            tuple(int(v) for v in tile),
+                            config.img_size if prescale else 0,
+                        )
+                        if cacheable
+                        else None
                     ),
                     prescale=prescale,
                 )

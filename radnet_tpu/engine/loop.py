@@ -366,16 +366,20 @@ def fit(
         events.close()
         raise
 
-    saver.close()  # flush pending checkpoint writes
-    metrics_log.close()
-    events.close()
-    save_training_plots(record, os.path.join(model_path, "viz"))
     try:
-        from radnet_tpu.utils.dashboard import generate_dashboard
+        saver.close()  # flush pending checkpoint writes (re-raises worker errors)
+    finally:
+        # Even if the final checkpoint flush fails, every epoch completed:
+        # close the logs and write the plots/dashboard before propagating.
+        metrics_log.close()
+        events.close()
+        save_training_plots(record, os.path.join(model_path, "viz"))
+        try:
+            from radnet_tpu.utils.dashboard import generate_dashboard
 
-        generate_dashboard(model_path)
-    except Exception as e:  # dashboards must never fail a training run
-        print(f"dashboard generation failed: {e}")
+            generate_dashboard(model_path)
+        except Exception as e:  # dashboards must never fail a training run
+            print(f"dashboard generation failed: {e}")
     return state, record
 
 

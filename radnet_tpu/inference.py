@@ -58,8 +58,9 @@ class RADNet:
         its slice of the tiles) and the detector head is tensor-sharded
         over the ``model`` axis (the same Megatron column/row split
         training uses - parallel/mesh.py); everything else is replicated
-        and XLA inserts the collectives.  ``infer_tile_batch`` is bumped
-        to a multiple of the data-axis size if needed."""
+        and XLA inserts the collectives.  The effective tile batch
+        (``self.tile_batch``) is bumped to a multiple of the data-axis
+        size if needed - the caller's Config is never mutated."""
         self.C = config
         self.model = model
         self.variables = {"params": params, "batch_stats": batch_stats}
@@ -68,18 +69,18 @@ class RADNet:
         self.mesh = mesh
         self._batch_sharding = None
         self._dp = 1
+        self.tile_batch = config.infer_tile_batch
         if mesh is not None:
             from radnet_tpu.parallel.mesh import batch_sharding, make_param_shardings
 
             dp = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
             self._dp = dp
             if config.infer_tile_batch % dp:
-                new_bs = -(-config.infer_tile_batch // dp) * dp
+                self.tile_batch = -(-config.infer_tile_batch // dp) * dp
                 print(
                     f"infer_tile_batch={config.infer_tile_batch} not divisible "
-                    f"by data-parallel size {dp}; using {new_bs}"
+                    f"by data-parallel size {dp}; using {self.tile_batch}"
                 )
-                config.infer_tile_batch = new_bs
             self.variables = jax.device_put(
                 self.variables, make_param_shardings(self.variables, mesh)
             )
@@ -331,7 +332,7 @@ class RADNet:
         divisible by the data-axis size; the half program is skipped when
         it is not.
         """
-        bs = self.C.infer_tile_batch
+        bs = self.tile_batch
         schedule = [(s, bs) for s in range(0, (n // bs) * bs, bs)]
         rem = n - (n // bs) * bs
         if rem:
@@ -370,6 +371,32 @@ class RADNet:
     def predict(self, images: Sequence[np.ndarray]) -> list[dict[str, Any]]:
         """Full multi-tile, multi-image-type prediction (RADNet.py:502-718)."""
         return self.predict_collect(self.predict_dispatch(images))
+
+    def warmup(self, img: np.ndarray) -> None:
+        """Compile every cascade program family this panel geometry can hit.
+
+        A plain predict compiles the tail ``bs//2`` program only when the
+        panel's tile count happens to leave a remainder of at most
+        ``bs//2``; a serving warmup promises the first REAL panel pays no
+        compile (cli/serve.py --warmup-size), so force the half-size
+        program too whenever tail sub-batching could select it.
+        """
+        self.predict([img])
+        cfg = self.C
+        bs, half = self.tile_batch, self.tile_batch // 2
+        if (
+            not cfg.infer_tail_subbatch
+            or half == 0
+            or (self.mesh is not None and half % self._dp)
+            or cfg.max_n_tiles_train <= 0
+        ):
+            return
+        tiles = plan_tiles(img.shape[1], img.shape[0], cfg.tile_size, cfg.tile_overlap)
+        if len(tiles) == 0 or 0 < len(tiles) % bs <= half:
+            return  # no tiled path for this geometry / predict compiled it already
+        pending: list = []
+        self._dispatch_tiles(img, tiles[: max(1, min(half, len(tiles)))], pending)
+        self._drain_tiles(pending, {}, {})
 
     def predict_dispatch(self, images: Sequence[np.ndarray]) -> list[list]:
         """Dispatch every image's tile batches to the device (async).

@@ -544,3 +544,81 @@ def test_resize_to_canvas_identity_skip():
     np.testing.assert_array_equal(
         cv2.resize(img, (45, 60), interpolation=cv2.INTER_CUBIC), img
     )
+
+
+def test_prescaled_tile_cache_keys_on_absolute_path(tmp_path, monkeypatch):
+    """Two datasets with the SAME relative layout but different pixels must
+    never share cache entries across a chdir: the key uses the resolved
+    panel path, not the relative filepath stored in img_data."""
+    import cv2
+
+    from radnet_tpu.data import pipeline
+
+    cfg = tiny_config()
+    cfg.tile_size = 100
+    cfg.tile_overlap = 50
+    cfg.use_noise = False
+    root_a = tmp_path / "a"
+    root_b = tmp_path / "b"
+    root_a.mkdir()
+    root_b.mkdir()
+    _write_synthetic_dataset(root_a, cfg)
+    _write_synthetic_dataset(root_b, cfg)
+    for f in (root_b / "data" / cfg.img_types[0]).iterdir():
+        cv2.imwrite(str(f), 255 - cv2.imread(str(f)))  # same layout, new pixels
+
+    def first_samples(root, n=4):
+        monkeypatch.chdir(root)
+        data, class_count, _ = get_data("annot.csv", "data", cfg.img_types)
+        gen = tile_sample_generator(
+            data, cfg, class_count, cfg.class_mapping, train_mode=True, seed=7
+        )
+        return [next(gen) for _ in range(n)]
+
+    pipeline._tile_cache_clear()
+    cfg.prescaled_tile_cache_mb = 64
+    a_cached = first_samples(root_a)  # populates the cache
+    b_cached = first_samples(root_b)  # must NOT see dataset A's tiles
+    pipeline._tile_cache_clear()
+    cfg.prescaled_tile_cache_mb = 0
+    b_plain = first_samples(root_b)
+    for x, y in zip(b_cached, b_plain):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k], err_msg=k)
+    # Sanity: the datasets really differ (a stale hit would make them equal).
+    assert any(
+        (x["image"] != y["image"]).any() for x, y in zip(a_cached, b_cached)
+    )
+
+
+def test_prescaled_tile_cache_bypassed_for_custom_loader():
+    """A custom image_loader's pixels need not be a function of the path,
+    so those runs must not populate (or read) the process-global cache."""
+    from radnet_tpu.data import pipeline
+
+    cfg = tiny_config()
+    cfg.tile_size = 100
+    cfg.tile_overlap = 50
+    cfg.use_noise = False
+    cfg.balanced_classes = False
+    cfg.prescaled_tile_cache_mb = 64
+    pipeline._tile_cache_clear()
+
+    def loader(path, img_types, random_type=False):
+        return np.full((100, 100, 3), 77, np.uint8)
+
+    data = [
+        {
+            "filepath": "x.png",
+            "width": 100,
+            "height": 100,
+            "bboxes": [{"class": "boat", "x1": 10, "y1": 10, "x2": 60, "y2": 60}],
+        }
+    ]
+    gen = tile_sample_generator(
+        data, cfg, {"boat": 1}, cfg.class_mapping,
+        train_mode=True, seed=0, image_loader=loader,
+    )
+    next(gen)
+    assert not pipeline._tile_cache
+    pipeline._tile_cache_clear()

@@ -279,12 +279,12 @@ def test_interleaved_dispatch_collect_matches_serial(radnet):
 
 def test_batch_schedule_tail_subbatch(radnet):
     """Remainders that fit in bs//2 dispatch through the half program."""
-    bs = radnet.C.infer_tile_batch
-    assert bs == 2
+    bs = radnet.tile_batch
+    assert bs == radnet.C.infer_tile_batch == 2
     assert radnet._batch_schedule(5) == [(0, 2), (2, 2), (4, 1)]
     assert radnet._batch_schedule(4) == [(0, 2), (2, 2)]
     assert radnet._batch_schedule(1) == [(0, 1)]
-    radnet.C.infer_tile_batch = 8
+    radnet.tile_batch = 8  # the schedule runs off the EFFECTIVE batch
     try:
         assert radnet._batch_schedule(36) == [
             (0, 8), (8, 8), (16, 8), (24, 8), (32, 4)]
@@ -295,7 +295,7 @@ def test_batch_schedule_tail_subbatch(radnet):
         radnet.C.infer_tail_subbatch = False
         assert radnet._batch_schedule(12) == [(0, 8), (8, 8)]
     finally:
-        radnet.C.infer_tile_batch = bs
+        radnet.tile_batch = bs
         radnet.C.infer_tail_subbatch = True
 
 
@@ -323,3 +323,36 @@ def test_tail_subbatch_detections_match_full_batches():
     ka = sorted((d["class"], d["x1"], d["y1"], d["x2"], d["y2"]) for d in a)
     kb = sorted((d["class"], d["x1"], d["y1"], d["x2"], d["y2"]) for d in b)
     assert ka == kb
+
+
+def test_warmup_compiles_tail_program():
+    """RADNet.warmup must also compile the half-size tail program so the
+    first real panel after serve.py's READY never blocks on a compile,
+    even when the warmup geometry's tile count is a batch multiple."""
+    from radnet_tpu.data.tiling import plan_tiles
+
+    cfg = tiny_config("vgg16")
+    cfg.bbox_threshold = 0.0
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    r = RADNet(cfg, model, state.params, state.batch_stats)
+
+    panel = np.random.default_rng(3).integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    tiles = plan_tiles(96, 96, cfg.tile_size, cfg.tile_overlap)
+    # The interesting case: a plain predict of this panel never takes the
+    # half program (no remainder), so only warmup's forcing pass covers it.
+    assert len(tiles) % r.tile_batch == 0
+
+    r.warmup(panel)
+    fn = (
+        r._predict_prescaled_tiles_jit
+        if cfg.infer_panel_prescale and cfg.img_size < cfg.tile_size
+        else r._predict_panel_tiles_jit
+    )
+    before = fn._cache_size()
+    assert before >= 2  # full program + half tail program
+
+    pending = []
+    r._dispatch_tiles(panel, tiles[:1], pending)  # remainder 1 <= bs//2 -> tail
+    r._drain_tiles(pending, {}, {})
+    assert fn._cache_size() == before  # the tail dispatch hit a cached program

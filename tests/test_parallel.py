@@ -177,3 +177,24 @@ def test_tp_optimizer_moments_follow_param_sharding():
         new_state, _ = step(state, batch, jax.random.PRNGKey(7))
         jax.block_until_ready(new_state.params)
         check(new_state, "after step")
+
+
+def test_mesh_radnet_does_not_mutate_config():
+    """A mesh RADNet bumps its EFFECTIVE tile batch to a data-axis multiple
+    on self.tile_batch without writing through to the shared, saveable
+    Config (a driver that later saves or reuses the config must see the
+    value it configured)."""
+    from radnet_tpu.inference import RADNet
+
+    cfg = tiny_config("vgg16")
+    cfg.infer_tile_batch = 3  # not divisible by the 4-way data axis
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(4, model_parallel=1)
+    with mesh:
+        sharded = RADNet(cfg, model, state.params, state.batch_stats, mesh=mesh)
+    assert sharded.tile_batch == 4
+    assert cfg.infer_tile_batch == 3
+    # The schedule must run off the effective batch: 5 tiles -> one full
+    # batch of 4 plus a tail (half=2 is not data-axis divisible -> full).
+    assert sharded._batch_schedule(5) == [(0, 4), (4, 4)]
