@@ -35,6 +35,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="image type used for the annotated output PNGs")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument(
+        "--coco-map",
+        action="store_true",
+        help="also report COCO-style mAP@[.5:.95] (per-threshold APs written "
+        "to test_accuracy_coco.json; test_accuracy.json stays in the "
+        "reference's single-threshold format)",
+    )
+    p.add_argument(
         "--compare",
         default=None,
         metavar="REF_JSON",
@@ -195,6 +202,16 @@ def main(argv=None) -> int:
         json.dump(accuracy, f, indent=4)
 
     print("mAP: " + str(result["mAP"]))
+    if args.coco_map:
+        from radnet_tpu.evaluation import evaluate_detections_multi
+
+        coco = evaluate_detections_multi(all_dets, all_gt)
+        with open(os.path.join(model_path, "test_accuracy_coco.json"), "w") as f:
+            json.dump(coco, f, indent=4)
+        print(
+            f"mAP@[.5:.95]: {coco['mAP_50_95']:.4f}  "
+            f"(AP50 {coco['AP50']:.4f}, AP75 {coco['AP75']:.4f})"
+        )
     if elapsed:
         # Reference metric (test.py:262) first; the steady-state line
         # excludes panel 0, which pays the per-process compile + session

@@ -153,3 +153,42 @@ def evaluate_detections(
         }
     m_ap = float(np.mean(list(per_class.values()))) if per_class else 0.0
     return {"per_class": per_class, "mAP": m_ap, "curves": curves}
+
+
+def evaluate_detections_multi(
+    all_dets: list[dict[str, Any]],
+    all_gt: list[dict[str, Any]],
+    thresholds: list[float] | None = None,
+) -> dict[str, Any]:
+    """COCO-style multi-threshold mAP — an extension beyond the reference.
+
+    The reference evaluates at a single IoU threshold (GT_IOU_THRESHOLD=0.5,
+    test.py:42); modern detection work reports mAP averaged over
+    IoU in {0.50, 0.55, ..., 0.95}.  Each threshold reuses the reference's
+    own pooled greedy matcher and interpolated AP, so AP@0.50 here equals
+    ``evaluate_detections(...)["mAP"]`` exactly.
+
+    Returns ``{"per_threshold": {"0.50": {...}, ...},
+    "per_class_avg": {cls: mean AP}, "mAP_50_95": float,
+    "AP50": float, "AP75": float}``.
+    """
+    if thresholds is None:
+        thresholds = [0.5 + 0.05 * i for i in range(10)]
+    per_threshold: dict[str, Any] = {}
+    class_aps: dict[str, list[float]] = {}
+    for t in thresholds:
+        res = evaluate_detections(all_dets, all_gt, t)
+        res = {"per_class": res["per_class"], "mAP": res["mAP"]}  # drop curves
+        key = f"{t:.2f}"
+        per_threshold[key] = res
+        for cls, ap in res["per_class"].items():
+            class_aps.setdefault(cls, []).append(ap)
+    per_class_avg = {c: float(np.mean(v)) for c, v in class_aps.items()}
+    maps = [r["mAP"] for r in per_threshold.values()]
+    return {
+        "per_threshold": per_threshold,
+        "per_class_avg": per_class_avg,
+        "mAP_50_95": float(np.mean(maps)) if maps else 0.0,
+        "AP50": per_threshold.get("0.50", {}).get("mAP"),
+        "AP75": per_threshold.get("0.75", {}).get("mAP"),
+    }

@@ -119,6 +119,7 @@ def test_train_cont_and_predict(workspace, monkeypatch):
             "--model-name", "faster_rcnn_vgg16_smoke",
             "--test-annot", "val.csv",
             "--test-data", "data/val",
+            "--coco-map",
         ]
     )
     assert rc == 0
@@ -126,6 +127,12 @@ def test_train_cont_and_predict(workspace, monkeypatch):
     with open(os.path.join(model_dir, "test_accuracy.json")) as f:
         acc = json.load(f)
     assert "mAP" in acc
+    # --coco-map extension: per-threshold APs in a separate file; AP50
+    # must equal the reference-format single-threshold mAP exactly.
+    with open(os.path.join(model_dir, "test_accuracy_coco.json")) as f:
+        coco = json.load(f)
+    assert coco["AP50"] == acc["mAP"]
+    assert len(coco["per_threshold"]) == 10
 
     # Data-pipeline sanity checker (reference test_data.py workflow).
     from radnet_tpu.cli.test_data import main as test_data_main

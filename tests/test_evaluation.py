@@ -4,6 +4,7 @@ import numpy as np
 
 from radnet_tpu.evaluation import (
     evaluate_detections,
+    evaluate_detections_multi,
     interpolated_average_precision,
     match_detections,
 )
@@ -57,6 +58,31 @@ def test_wrong_class_never_matches():
     T, P = match_detections(dets, gts)
     assert T["human"] == [0]
     assert T["boat"] == [1] and P["boat"] == [0.0]
+
+
+def test_multi_threshold_map():
+    """mAP@[.5:.95]: AP@0.50 must equal the single-threshold evaluation
+    exactly; a detection at IoU ~0.68 counts below 0.68 and not above,
+    so the averaged mAP sits strictly between the extremes."""
+    # IoU of (0,0,10,10) vs (0,0,10,14.7) = 10*10 / (10*14.7) = 0.680...
+    dets = [
+        det("boat", 0.9, (0, 0, 10, 10)),
+        det("boat", 0.7, (50, 50, 60, 60)),  # exact hit at every threshold
+    ]
+    gts = [gt("boat", (0, 0, 10, 14.7)), gt("boat", (50, 50, 60, 60))]
+    coco = evaluate_detections_multi(dets, gts)
+    single = evaluate_detections(dets, gts, 0.5)
+    np.testing.assert_allclose(coco["AP50"], single["mAP"])
+    assert set(coco["per_threshold"]) == {f"{0.5 + 0.05 * i:.2f}" for i in range(10)}
+    # thresholds .50-.65 (4): both match; .70+ (6): only the exact hit.
+    ap_lo = coco["per_threshold"]["0.50"]["mAP"]
+    ap_hi = coco["per_threshold"]["0.95"]["mAP"]
+    assert ap_lo > ap_hi
+    np.testing.assert_allclose(
+        coco["mAP_50_95"], (4 * ap_lo + 6 * ap_hi) / 10
+    )
+    assert coco["per_class_avg"]["boat"] == coco["mAP_50_95"]
+    assert coco["AP75"] == ap_hi
 
 
 def test_interpolated_ap_matches_hand_computed():
