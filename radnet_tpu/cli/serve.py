@@ -26,6 +26,8 @@ k+1's tile batches (grey-detect, cv2 prescale, canvas prep - the host
 side of the cascade) to the device BEFORE collecting panel k's results,
 so host prep and device compute overlap across consecutive panels (the
 same overlap ``RADNet.predict_dispatch`` exploits within one call).
+``--pipeline-depth N`` keeps up to N panels in flight for further
+throughput at the cost of per-panel latency; results stay in input order.
 
 Example:
   printf '%s\n' panel1.png panel2.png | \
@@ -53,6 +55,15 @@ def build_argparser() -> argparse.ArgumentParser:
         default=0,
         help="run one synthetic panel of this side length through the "
         "cascade before READY, so the first real panel pays no compile",
+    )
+    p.add_argument(
+        "--pipeline-depth",
+        type=int,
+        default=1,
+        help="panels kept in flight at once (>=1). Depth 1 already overlaps "
+        "panel k+1's host prep with panel k's device compute; deeper "
+        "pipelines additionally overlap result fetches with later panels' "
+        "prep at the cost of per-panel latency. Results stay in input order.",
     )
     from radnet_tpu.cli.common import add_mesh_args
 
@@ -104,7 +115,8 @@ def main(argv=None) -> int:
     import queue
     import threading
 
-    inbox: queue.Queue = queue.Queue(maxsize=1)
+    depth = max(1, args.pipeline_depth)
+    inbox: queue.Queue = queue.Queue(maxsize=depth)
     _EOF = object()
 
     def reader() -> None:
@@ -131,16 +143,17 @@ def main(argv=None) -> int:
                 json.dump(result, f, indent=2)
         print(json.dumps(result), flush=True)
 
-    # One panel stays outstanding: dispatch k+1 (host prescale + canvas
-    # prep run now, device batches queue behind k's) before collecting k.
-    outstanding = None  # (path, out_file, t0, pending)
+    # Up to ``depth`` panels stay outstanding: dispatch k+1 (host prescale +
+    # canvas prep run now, device batches queue behind k's) before
+    # collecting the oldest in-flight panel.
+    from collections import deque
 
-    def collect_outstanding() -> None:
-        nonlocal outstanding
-        if outstanding is None:
+    outstanding: deque = deque()  # (path, out_file, t0, pending), FIFO
+
+    def collect_oldest() -> None:
+        if not outstanding:
             return
-        path, out_file, t0, pending = outstanding
-        outstanding = None
+        path, out_file, t0, pending = outstanding.popleft()
         try:
             dets = radnet.predict_collect(pending)
             result = {
@@ -152,14 +165,18 @@ def main(argv=None) -> int:
             result = {"path": path, "error": f"{type(e).__name__}: {e}"}
         emit(result, out_file)
 
+    def drain() -> None:
+        while outstanding:
+            collect_oldest()
+
     while True:
         item = inbox.get()
         if item is _EOF:
-            collect_outstanding()
+            drain()
             break
         path, out_file, t0, img, err = item
         if err is not None:
-            collect_outstanding()  # preserve output order
+            drain()  # preserve output order
             emit({"path": path, "error": err}, out_file)
             continue
         try:
@@ -170,11 +187,12 @@ def main(argv=None) -> int:
             # cost.
             pending = radnet.predict_dispatch([img])
         except Exception as e:
-            collect_outstanding()
+            drain()
             emit({"path": path, "error": f"{type(e).__name__}: {e}"}, out_file)
             continue
-        collect_outstanding()
-        outstanding = (path, out_file, t0, pending)
+        outstanding.append((path, out_file, t0, pending))
+        while len(outstanding) > depth:
+            collect_oldest()
     return 0
 
 

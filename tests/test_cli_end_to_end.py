@@ -188,6 +188,25 @@ def test_train_cont_and_predict(workspace, monkeypatch):
     with open(out_json) as f:
         assert json.load(f)["path"] == panel_path
 
+    # --pipeline-depth 2: multiple panels in flight; results must come back
+    # in input order with the same detections as the depth-1 run, and an
+    # error mid-stream must not disorder or kill the pipeline.
+    paths = [panel_path, panel_path, "missing.png", panel_path]
+    monkeypatch.setattr(_sys, "stdin", io.StringIO("\n".join(paths) + "\n"))
+    captured2 = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", captured2)
+    rc = serve_main(
+        ["--models-path", "models", "--model-name", "faster_rcnn_vgg16_smoke",
+         "--pipeline-depth", "2"]
+    )
+    _sys.stdout = _sys.__stdout__
+    assert rc == 0
+    lines2 = [json.loads(l) for l in captured2.getvalue().strip().splitlines()]
+    assert [l["path"] for l in lines2] == paths
+    assert "error" in lines2[2] and "detections" in lines2[3]
+    assert lines2[0]["detections"] == lines[0]["detections"]
+    assert lines2[1]["detections"] == lines[0]["detections"]
+
 
 def test_mesh_cli_end_to_end(workspace, monkeypatch):
     """Multi-chip as a product capability: train, resume and evaluate
