@@ -15,6 +15,11 @@ Protocol (newline-delimited, stdin -> stdout):
           {"path": ..., "detections": [{"label", "confidence",
            "x1", "y1", "x2", "y2"}, ...], "sec": wall_seconds}
           or {"path": ..., "error": "..."} for unreadable inputs.
+          ``sec`` is wall time from reading the input line to emitting the
+          result - it INCLUDES time queued behind other in-flight panels
+          (grows with --pipeline-depth and input bursts).  Measure
+          throughput as inter-result gaps (scripts/measure_serve.py), not
+          by averaging ``sec``.
 
 A blank line or EOF ends the session; ``READY`` is printed to stderr once
 the model is loaded (harness hooks: wait for it before feeding panels).

@@ -323,6 +323,12 @@ def tile_sample_generator(
     mode, optional full-image sample.  Infinite in train mode; one pass in
     eval mode (the reference signals the epoch end with StopIteration,
     utils.py:551-552).
+
+    ``image_loader(filepath, img_types, random_type=False)`` contract: THIS
+    generator draws the per-tile image type itself (so the tile cache can
+    key on it) and always calls the loader with a single-element type list
+    and ``random_type=False``; a custom loader must not do its own type
+    selection.
     """
     rng = np.random.default_rng(seed)
     selector = SampleSelector(class_count)
@@ -378,31 +384,16 @@ def tile_sample_generator(
 
                 img_type = config.img_types[0]
                 if config.use_img_type:
-                    # The reference re-reads the image per tile so each tile
-                    # can come from a randomly chosen image type
-                    # (utils.py:390).  The type draw happens here (same rng
-                    # call, same stream) so the tile cache can key on it.
+                    # The type draw happens HERE even though the pixels are
+                    # only read further down: the rng call sits at the same
+                    # point of the stream as the reference's per-tile
+                    # re-read (utils.py:390), and the tile cache keys on it.
                     img_type = choose_img_type(config.img_types, rng)
-                    img = image_loader(
-                        img_data["filepath"], [img_type], random_type=False
-                    )
-                prescale = train_mode and config.augment_at_canvas_scale
-                tile_img = crop_tile_prescaled(
-                    img,
-                    tuple(int(v) for v in tile),
-                    config,
-                    cache_key=(
-                        (
-                            os.path.abspath(img_data["filepath"]),
-                            img_type,
-                            tuple(int(v) for v in tile),
-                            config.img_size if prescale else 0,
-                        )
-                        if cacheable
-                        else None
-                    ),
-                    prescale=prescale,
-                )
+                # Box survival and class-balance skips are pure coordinate /
+                # counter logic - decide them BEFORE paying the per-tile
+                # re-read + crop + bicubic prescale (on sparse panels most
+                # picked tiles have no surviving boxes, and boxless tiles
+                # must not evict real tiles from the byte-bounded cache).
                 boxes_arr = np.array(
                     [[b["x1"], b["y1"], b["x2"], b["y2"]] for b in img_data["bboxes"]]
                 )
@@ -436,6 +427,30 @@ def tile_sample_generator(
                 ):
                     continue
 
+                if config.use_img_type:
+                    # The reference re-reads the image per tile so each tile
+                    # can come from a randomly chosen image type
+                    # (utils.py:390).
+                    img = image_loader(
+                        img_data["filepath"], [img_type], random_type=False
+                    )
+                prescale = train_mode and config.augment_at_canvas_scale
+                tile_img = crop_tile_prescaled(
+                    img,
+                    tuple(int(v) for v in tile),
+                    config,
+                    cache_key=(
+                        (
+                            os.path.abspath(img_data["filepath"]),
+                            img_type,
+                            tuple(int(v) for v in tile),
+                            config.img_size if prescale else 0,
+                        )
+                        if cacheable
+                        else None
+                    ),
+                    prescale=prescale,
+                )
                 if (tile_img.shape[1], tile_img.shape[0]) != (tw, th):
                     # The image half of the prescale already happened inside
                     # crop_tile_prescaled (possibly as a cache hit); bring

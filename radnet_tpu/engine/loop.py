@@ -319,7 +319,9 @@ def fit(
             # is still fetching.  One on-device copy per epoch (~ms) vs
             # the ~12 ms/step the donation buys; the jitted copy preserves
             # shardings on a mesh.
-            if getattr(train_step, "_donates", False):
+            if getattr(train_step, "_donates", False) or getattr(
+                train_bundle, "_donates", False
+            ):
                 if snapshot is None:
                     import jax.numpy as jnp
 

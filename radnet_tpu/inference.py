@@ -373,13 +373,17 @@ class RADNet:
         return self.predict_collect(self.predict_dispatch(images))
 
     def warmup(self, img: np.ndarray) -> None:
-        """Compile every cascade program family this panel geometry can hit.
+        """Compile every cascade program family serving can hit.
 
         A plain predict compiles the tail ``bs//2`` program only when the
         panel's tile count happens to leave a remainder of at most
         ``bs//2``; a serving warmup promises the first REAL panel pays no
         compile (cli/serve.py --warmup-size), so force the half-size
-        program too whenever tail sub-batching could select it.
+        program too whenever tail sub-batching could ever select it.  Real
+        panels need not match the warmup geometry - both fixed-shape
+        programs (full batch and half batch) cover every panel size - so
+        the forcing pass runs even when THIS geometry's remainder would
+        not dispatch the half program.
         """
         self.predict([img])
         cfg = self.C

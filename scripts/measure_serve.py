@@ -61,9 +61,13 @@ def main() -> int:
                 ready.set()
 
     threading.Thread(target=watch_stderr, daemon=True).start()
-    if not ready.wait(timeout=1200):
-        proc.kill()
-        print("worker never became READY", file=sys.stderr)
+    # NEVER kill the worker (a killed tunneled-TPU client's stale session
+    # wedges the NEXT process, CLAUDE.md pitfall #2): on timeout or error,
+    # close stdin so the worker drains and exits cleanly on EOF.
+    if not ready.wait(timeout=2400):
+        print("worker never became READY; sending EOF and waiting", file=sys.stderr)
+        proc.stdin.close()
+        proc.wait()
         return 1
 
     paths = args.panels * args.repeat
@@ -88,11 +92,12 @@ def main() -> int:
         rec = json.loads(line)
         if "error" in rec:
             print("worker error:", rec, file=sys.stderr)
-            proc.kill()
+            proc.stdin.close()
+            proc.wait()
             return 1
         n_dets.append(len(rec["detections"]))
     proc.stdin.close()
-    proc.wait(timeout=60)
+    proc.wait()
 
     steady = gaps[args.skip:] if len(gaps) > args.skip else gaps
     print(json.dumps({

@@ -147,6 +147,48 @@ def test_donated_train_step_matches_and_fits(tmp_path):
     assert np.isfinite(rec["total_loss"]).all()
 
 
+def test_donating_bundle_with_plain_step_snapshots(tmp_path, monkeypatch):
+    """fit() must snapshot the state before async checkpoint submission
+    whenever EITHER the single step or the bundle donates - a donating
+    bundle paired with a non-donating remainder step previously skipped
+    the snapshot, handing the saver buffers the next bundle consumes."""
+    import os
+
+    from radnet_tpu.engine.loop import fit
+    from radnet_tpu.engine.steps import make_train_bundle
+
+    cfg = tiny_config("vgg16")
+    model = build_model(cfg)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()}
+
+    plain = make_train_step(model, cfg)  # donate=False
+    bundle = make_train_bundle(model, cfg, 2, donate=True)
+    assert bundle._donates and not plain._donates
+
+    # The snapshot branch is fit()'s jitted tree_map(jnp.copy); spying on
+    # jnp.copy (hit at trace time) proves the branch ran for a
+    # bundle-donates / step-does-not configuration.
+    copied = []
+    orig_copy = jnp.copy
+    monkeypatch.setattr(
+        jnp, "copy", lambda x, **kw: copied.append(1) or orig_copy(x, **kw)
+    )
+
+    def batches():
+        while True:
+            yield batch
+
+    model_path = str(tmp_path / "bundle_donated")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state, record = fit(
+        cfg, state, plain, batches(), model_path,
+        epoch_length=4, n_epochs=2, verbose=False, train_bundle=bundle,
+    )
+    assert len(record) == 2
+    assert os.path.isdir(os.path.join(model_path, "ckpt_last"))
+    assert copied, "fit() skipped the pre-save snapshot for a donating bundle"
+
+
 def test_bundle_matches_single_steps():
     """A K-step scan bundle must reproduce K single steps exactly: same
     RNG split sequence (engine/loop.py's per-step ``rng, sub = split``),
