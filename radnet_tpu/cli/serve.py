@@ -106,11 +106,19 @@ def main(argv=None) -> int:
     )
 
     if args.warmup_size:
+        # warmup (not a plain predict) force-compiles both tile-batch
+        # program sizes, and runs once per channel rank: the device-tiling
+        # programs are keyed on grey (2-D single-channel ship) vs color
+        # (3-D) panels, so an all-grey warmup would leave the first real
+        # color panel to pay a compile after READY (and vice versa).
+        # Size the warmup like the production panels - the prescaled-panel
+        # program is also keyed on the panel's bucketed shape.
         s = args.warmup_size
-        warm = np.zeros((s, s, 3), np.uint8)
-        # warmup (not a plain predict) also compiles the tail half-batch
-        # program, so the first real panel never blocks on a compile.
-        radnet.warmup(warm)
+        rng = np.random.default_rng(0)
+        color = rng.integers(1, 255, (s, s, 3), dtype=np.uint8)
+        grey = np.repeat(color[..., :1], 3, axis=-1)
+        radnet.warmup(grey)
+        radnet.warmup(color)
 
     print("READY", file=sys.stderr, flush=True)
 

@@ -599,7 +599,9 @@ def make_device_preparer(config: Config, seed: int = 0, train: bool = True):
     skips itself on the float batches this produces (dtype guard).
     """
     base_key = jax.random.PRNGKey(seed)
-    grey = "grey" in config.img_types[0]
+    from radnet_tpu.ops.augment_device import grey_mode
+
+    grey = grey_mode(config)
     do_aug = bool(
         train
         and config.augment_photometric_on_device

@@ -83,12 +83,12 @@ def compute_losses(
         and (config.use_brightness or config.use_noise)
         and images.dtype == jnp.uint8  # float batches are pre-centered
     ):
-        from radnet_tpu.ops.augment_device import photometric_augment
+        from radnet_tpu.ops.augment_device import grey_mode, photometric_augment
 
         images = photometric_augment(
             images,
             jax.random.fold_in(rng, 7),
-            grey="grey" in config.img_types[0],
+            grey=grey_mode(config),
             use_brightness=config.use_brightness,
             use_noise=config.use_noise,
         ).astype(jnp.uint8)  # values are floored/rinted into 0..255

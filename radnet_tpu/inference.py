@@ -136,8 +136,15 @@ class RADNet:
                     panel, (origin[1], origin[0], 0), (ts, ts, 3)
                 )
                 # MXU-matmul bicubic (cv2.INTER_CUBIC family) instead of
-                # gather-based jax.image.resize - see ops/resize.py.
-                resized = resize_bicubic(tile, out, out)
+                # gather-based jax.image.resize - see ops/resize.py.  The
+                # panel source is uint8: saturate + round like cv2's
+                # uint8 output does, or cubic overshoot at hard edges
+                # (up to ~+-25 intensity at the panel/zero-background
+                # boundary of every edge tile) diverges from the host
+                # tile path after mean-centering.
+                resized = jnp.rint(
+                    jnp.clip(resize_bicubic(tile, out, out), 0.0, 255.0)
+                )
                 canvas = jnp.zeros((s, s, 3), jnp.float32)
                 return jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0))
 
@@ -373,34 +380,44 @@ class RADNet:
         return self.predict_collect(self.predict_dispatch(images))
 
     def warmup(self, img: np.ndarray) -> None:
-        """Compile every cascade program family serving can hit.
+        """Compile every tile-batch program size serving can hit.
 
-        A plain predict compiles the tail ``bs//2`` program only when the
-        panel's tile count happens to leave a remainder of at most
-        ``bs//2``; a serving warmup promises the first REAL panel pays no
-        compile (cli/serve.py --warmup-size), so force the half-size
-        program too whenever tail sub-batching could ever select it.  Real
-        panels need not match the warmup geometry - both fixed-shape
-        programs (full batch and half batch) cover every panel size - so
-        the forcing pass runs even when THIS geometry's remainder would
-        not dispatch the half program.
+        A plain predict compiles only the program sizes THIS panel's
+        schedule selects (a 4-tile panel at ``infer_tile_batch=8``
+        compiles just the half program; a 16-tile panel just the full
+        one), but a serving warmup promises the first REAL panel pays no
+        compile (cli/serve.py --warmup-size) and real panels need not
+        match the warmup tile count.  So after the predict, any uncovered
+        size in {full batch, eligible half batch} is force-compiled by
+        dispatching that many copies of the first tile window.
+
+        Two program keys warmup can NOT cover for geometries it was not
+        shown: the prescaled panel's bucketed shape and its grey/color
+        channel rank (the default device-tiling path is keyed on both) -
+        pass a warmup panel per production panel size, and one grey plus
+        one color variant when serving mixes them (cli/serve.py warms
+        both).
         """
         self.predict([img])
         cfg = self.C
-        bs, half = self.tile_batch, self.tile_batch // 2
-        if (
-            not cfg.infer_tail_subbatch
-            or half == 0
-            or (self.mesh is not None and half % self._dp)
-            or cfg.max_n_tiles_train <= 0
-        ):
+        if cfg.max_n_tiles_train <= 0:
             return
         tiles = plan_tiles(img.shape[1], img.shape[0], cfg.tile_size, cfg.tile_overlap)
-        if len(tiles) == 0 or 0 < len(tiles) % bs <= half:
-            return  # no tiled path for this geometry / predict compiled it already
-        pending: list = []
-        self._dispatch_tiles(img, tiles[: max(1, min(half, len(tiles)))], pending)
-        self._drain_tiles(pending, {}, {})
+        if len(tiles) == 0:
+            return  # panel smaller than a tile: host fallback, compiled above
+        covered = {bs for _, bs in self._batch_schedule(len(tiles))}
+        want = {self.tile_batch}
+        half = self.tile_batch // 2
+        if (
+            cfg.infer_tail_subbatch
+            and half > 0
+            and not (self.mesh is not None and half % self._dp)
+        ):
+            want.add(half)
+        for bs in sorted(want - covered, reverse=True):
+            pending: list = []
+            self._dispatch_tiles(img, np.repeat(tiles[:1], bs, axis=0), pending)
+            self._drain_tiles(pending, {}, {})
 
     def predict_dispatch(self, images: Sequence[np.ndarray]) -> list[list]:
         """Dispatch every image's tile batches to the device (async).
@@ -476,11 +493,6 @@ class RADNet:
                     }
                 )
         return detections
-
-    def _accumulate_tiles(self, img, tiles, bbox_total, probs_total) -> None:
-        pending: list = []
-        self._dispatch_tiles(img, tiles, pending)
-        self._drain_tiles(pending, bbox_total, probs_total)
 
     def _dispatch_tiles(self, img, tiles, pending: list) -> None:
         """Dispatch every tile batch of one image (appending to ``pending``).

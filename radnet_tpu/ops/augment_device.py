@@ -94,36 +94,60 @@ def _poisson(x, key):
     return jax.random.poisson(key, x * vals).astype(jnp.float32) / vals
 
 
-def _noise_one_of_four(img, key, grey: bool):
+def _noise_one_of_four(img, key, grey):
     """One of {s&p, gaussian, poisson, contrast} picked uniformly
     (augmentation.py:518-528); noise ops run grey-aware with zero
-    background re-imposed (augmentation.py:363-397 pattern)."""
+    background re-imposed (augmentation.py:363-397 pattern).
+
+    ``grey`` is either a python bool (static: only that variant is
+    compiled - the usual homogeneous-config case) or a traced boolean
+    scalar (per-sample grey detection for mixed grey/color batches under
+    ``use_img_type``; both variants are computed and selected)."""
     k_pick, k_op = jax.random.split(key)
     r = jax.random.randint(k_pick, (), 0, 4)
 
-    if grey:
-        plane = img[..., 0]  # grey panels: identical channels
-        background = plane == 0
+    def variant(as_grey: bool):
+        if as_grey:
+            plane = img[..., 0]  # grey panels: identical channels
+            background = plane == 0
+        else:
+            plane = img
+            background = img == 0
+        x = plane / 255.0
+        candidates = jnp.stack(
+            [
+                _salt_and_pepper(x, k_op),
+                _gaussian(x, k_op),
+                _poisson(x, k_op),
+            ]
+        )
+        noisy = candidates[r % 3]  # r==3 selects contrast below
+        # img_as_ubyte rounding (augmentation.py via skimage): rint after
+        # clip.
+        noisy = jnp.rint(jnp.clip(noisy, 0.0, 1.0) * 255.0)
+        noisy = jnp.where(background, 0.0, noisy)
+        if as_grey:
+            noisy = jnp.repeat(noisy[..., None], img.shape[-1], axis=-1)
+        return noisy
+
+    if isinstance(grey, bool):
+        noisy = variant(grey)
     else:
-        plane = img
-        background = img == 0
-    x = plane / 255.0
-
-    candidates = jnp.stack(
-        [
-            _salt_and_pepper(x, k_op),
-            _gaussian(x, k_op),
-            _poisson(x, k_op),
-        ]
-    )
-    noisy = candidates[r % 3]  # r==3 selects contrast below
-    # img_as_ubyte rounding (augmentation.py via skimage): rint after clip.
-    noisy = jnp.rint(jnp.clip(noisy, 0.0, 1.0) * 255.0)
-    noisy = jnp.where(background, 0.0, noisy)
-    if grey:
-        noisy = jnp.repeat(noisy[..., None], img.shape[-1], axis=-1)
-
+        noisy = jnp.where(grey, variant(True), variant(False))
     return jnp.where(r == 3, _contrast(img, k_op), noisy)
+
+
+def grey_mode(config) -> bool | None:
+    """The ``grey`` argument the production callers should pass.
+
+    The host path keys grey-aware noise on each sample's image type
+    (data/augment.py); on device the flag must therefore be per-sample
+    when a run can mix grey and color canvases in one batch.  Returns a
+    static bool when every type the run can draw agrees (compiles only
+    that variant), else ``None`` (= detect per sample from the pixels)."""
+    types = list(config.img_types) if config.use_img_type else list(config.img_types[:1])
+    flags = ["grey" in t for t in types] or [False]
+    return flags[0] if all(f == flags[0] for f in flags) else None
 
 
 @functools.partial(
@@ -132,7 +156,7 @@ def _noise_one_of_four(img, key, grey: bool):
 def photometric_augment(
     images: jnp.ndarray,
     key: jax.Array,
-    grey: bool,
+    grey: bool | None,
     use_brightness: bool = True,
     use_noise: bool = True,
 ) -> jnp.ndarray:
@@ -142,10 +166,21 @@ def photometric_augment(
     float32 in 0..255 (callers mean-center next; no uint8 round-trip).
     Brightness at p=0.5, then one of the four noise/contrast ops at p=0.5
     (augmentation.py:514-528), independently per sample.
+
+    ``grey``: True/False applies that noise variant to the whole batch;
+    ``None`` detects greyness per sample from channel equality (batches
+    can mix grey and color canvases when ``use_img_type`` draws from
+    mixed image types - see :func:`grey_mode`).
     """
 
     def per_sample(img_u8, key):
         img = img_u8.astype(jnp.float32)
+        if grey is None and img.shape[-1] >= 3:
+            g = jnp.all(img[..., 0] == img[..., 1]) & jnp.all(
+                img[..., 1] == img[..., 2]
+            )
+        else:
+            g = bool(grey) if grey is not None else False
         k_bc, k_b, k_nc, k_n = jax.random.split(key, 4)
         if use_brightness:
             img = jnp.where(
@@ -154,7 +189,7 @@ def photometric_augment(
         if use_noise:
             img = jnp.where(
                 jax.random.uniform(k_nc) < 0.5,
-                _noise_one_of_four(img, k_n, grey),
+                _noise_one_of_four(img, k_n, g),
                 img,
             )
         return img

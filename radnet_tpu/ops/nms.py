@@ -11,9 +11,9 @@ output sizes - unusable under jit.
 suppression expressed as a ``lax.fori_loop`` of ``max_out`` steps over a
 statically-shaped candidate set, emitting ``(max_out, 4)`` boxes plus a
 validity mask.  Suppression uses strict ``iou > thresh`` like the reference
-(rpn.py:447).  :func:`batched_nms` vmaps it over a leading batch axis and
-:func:`classwise_nms` over a class axis - one compiled program handles the
-whole tile batch.
+(rpn.py:447).  :func:`batched_nms` vmaps it over a leading axis (batch or
+class) - one compiled program handles the whole tile batch; the per-tile
+per-class suppression inside the cascade uses :func:`nms_fixed_point`.
 
 :func:`final_nms_cluster` keeps the cluster-average semantics on the host
 (numpy): it runs once per panel on at most a few hundred boxes, so the
@@ -178,16 +178,6 @@ def batched_nms(boxes, scores, valid, iou_thresh, *, max_out, cast_int=False):
     fn = functools.partial(
         nms_fixed, iou_thresh=iou_thresh, max_out=max_out, cast_int=cast_int
     )
-    return jax.vmap(fn)(boxes, scores, valid)
-
-
-def classwise_nms(boxes, scores, valid, iou_thresh, *, max_out):
-    """Per-class NMS over ``(C, N, ...)`` stacked candidates.
-
-    Used for the per-tile, per-class suppression the reference runs on host
-    after the detector (RADNet.py:570-574).
-    """
-    fn = functools.partial(nms_fixed, iou_thresh=iou_thresh, max_out=max_out)
     return jax.vmap(fn)(boxes, scores, valid)
 
 

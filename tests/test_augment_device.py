@@ -57,6 +57,48 @@ def test_grey_channels_stay_identical():
         np.testing.assert_array_equal(out[..., 1], out[..., 2])
 
 
+def test_mixed_batch_grey_detected_per_sample():
+    """grey=None (the production callers' mode for mixed-type configs,
+    grey_mode): a batch mixing a grey canvas and a color canvas must keep
+    the grey sample's channels identical while the color sample gets
+    independent per-channel noise - the static flag corrupted one or the
+    other (channel-0 noise broadcast over a color image, or chroma noise
+    on a grey one)."""
+    from radnet_tpu.ops.augment_device import grey_mode
+
+    rng = np.random.default_rng(0)
+    grey_plane = rng.integers(40, 200, (64, 64), np.uint8)
+    grey_img = np.repeat(grey_plane[..., None], 3, axis=-1)
+    color_img = rng.integers(40, 200, (64, 64, 3), np.uint8)
+    imgs = np.stack([grey_img, color_img])
+
+    grey_noised = color_noised = False
+    for seed in range(12):
+        out = np.asarray(
+            photometric_augment(imgs, jax.random.PRNGKey(seed), grey=None)
+        )
+        np.testing.assert_array_equal(out[0, ..., 0], out[0, ..., 1], str(seed))
+        np.testing.assert_array_equal(out[0, ..., 1], out[0, ..., 2], str(seed))
+        grey_noised |= (out[0] != imgs[0]).any()
+        # When noise hits the color sample, its channels must differ in a
+        # way that cannot come from a broadcast channel-0 plane.
+        if (out[1] != imgs[1]).any():
+            color_noised = True
+            assert not np.array_equal(out[1, ..., 0], out[1, ..., 1]), seed
+    assert grey_noised and color_noised  # both variants exercised
+
+    class _C:
+        use_img_type = True
+        img_types = ["enhanced_topo_grey", "blended_map"]
+
+    assert grey_mode(_C()) is None
+    _C.img_types = ["enhanced_topo_grey", "blended_map_grey"]
+    assert grey_mode(_C()) is True
+    _C.use_img_type = False
+    _C.img_types = ["blended_map", "blended_map_grey"]
+    assert grey_mode(_C()) is False  # only the primary type is ever read
+
+
 def test_brightness_window_gate():
     """Images with mean brightness outside (75, 180) pass through
     unchanged (augmentation.py:318-321)."""

@@ -356,3 +356,37 @@ def test_warmup_compiles_tail_program():
     r._dispatch_tiles(panel, tiles[:1], pending)  # remainder 1 <= bs//2 -> tail
     r._drain_tiles(pending, {}, {})
     assert fn._cache_size() == before  # the tail dispatch hit a cached program
+
+
+def test_warmup_small_panel_compiles_full_program():
+    """The converse gap: a warmup panel with fewer tiles than the batch
+    size schedules only the half program in its own predict; warmup must
+    still force-compile the FULL-batch program, or the first big real
+    panel pays the cascade compile after serve.py's READY."""
+    from radnet_tpu.data.tiling import plan_tiles
+
+    cfg = tiny_config("vgg16")
+    cfg.bbox_threshold = 0.0
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    r = RADNet(cfg, model, state.params, state.batch_stats)
+
+    side = cfg.tile_size  # exactly one tile: rem=1 <= bs//2 -> half only
+    panel = np.random.default_rng(5).integers(0, 255, (side, side, 3), np.uint8)
+    tiles = plan_tiles(side, side, cfg.tile_size, cfg.tile_overlap)
+    assert 0 < len(tiles) < r.tile_batch
+
+    r.warmup(panel)
+    fn = (
+        r._predict_prescaled_tiles_jit
+        if cfg.infer_panel_prescale and cfg.img_size < cfg.tile_size
+        else r._predict_panel_tiles_jit
+    )
+    before = fn._cache_size()
+    assert before >= 2  # half program (from predict) + forced full program
+
+    pending = []
+    full = np.repeat(tiles[:1], r.tile_batch, axis=0)
+    r._dispatch_tiles(panel, full, pending)  # full-batch dispatch
+    r._drain_tiles(pending, {}, {})
+    assert fn._cache_size() == before  # full program was already compiled
