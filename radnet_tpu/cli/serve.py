@@ -152,8 +152,14 @@ def main(argv=None) -> int:
 
     def emit(result: dict, out_file: str) -> None:
         if out_file:
-            with open(out_file, "w") as f:
-                json.dump(result, f, indent=2)
+            try:
+                with open(out_file, "w") as f:
+                    json.dump(result, f, indent=2)
+            except OSError as e:
+                # A bad output path must not kill the worker (or lose the
+                # result): report it on the stdout record and keep serving.
+                result = dict(result)
+                result["out_file_error"] = f"{type(e).__name__}: {e}"
         print(json.dumps(result), flush=True)
 
     # Up to ``depth`` panels stay outstanding: dispatch k+1 (host prescale +

@@ -128,6 +128,11 @@ def main(argv=None) -> int:
             rpn_max_overlap=config.rpn_max_overlap,
             max_regions=config.rpn_max_regions,
             std_scaling=config.std_scaling,
+            # Match the train step's target semantics exactly
+            # (engine/steps.py passes both): this tool diagnoses RPN
+            # collapse precisely when these knobs are being tuned.
+            reference_neg_budget=config.rpn_reference_neg_budget,
+            fallback_min_iou=config.rpn_fallback_min_iou,
         )
         y_cls = np.asarray(out.y_rpn_cls)
         a = config.n_anchors

@@ -243,7 +243,9 @@ def contrast(img, bboxes, rng: np.random.Generator):
     hi = (255.0 - max_c) * rng.random() + max_c
     imgf = img.astype(np.float32)
     out = np.clip((imgf - lo) / max(hi - lo, 1e-6), 0.0, 1.0) * 255.0
-    return np.rint(out).astype(np.uint8), bboxes
+    # rescale_intensity returns the INPUT dtype via a plain astype, i.e.
+    # truncation - unlike img_as_ubyte (the noise ops), which rounds.
+    return out.astype(np.uint8), bboxes
 
 
 def _as_ubyte(x: np.ndarray) -> np.ndarray:
@@ -355,6 +357,12 @@ def augment(
             img, boxes = brightness(img, boxes, rng)
         if photometric and config.use_noise and rng.random() < 0.5:
             r = rng.integers(0, 4)
+            # Reference quirk preserved (augmentation.py:522-526): grey
+            # handling keys on the FIRST configured type even when
+            # use_img_type mixes grey and color tiles in one run.  The
+            # device path (ops/augment_device.grey_mode) instead detects
+            # greyness per sample for mixed-type configs - a documented
+            # correctness-over-parity divergence.
             img_type = config.img_types[0]
             if r == 0:
                 img, boxes = salt_and_pepper_noise(img, boxes, img_type, rng)

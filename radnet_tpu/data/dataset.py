@@ -54,13 +54,31 @@ def get_image(
     """
     img_type = choose_img_type(types, rng) if random_type else types[0]
 
-    # Layout contract (utils.py:124-126): the image-type directory is the
-    # *second* path segment, i.e. ``<data_root>/<img_type>/<...>/<file>``.
+    # Layout contract (utils.py:124-126): the image-type directory goes
+    # right after the data root, ``<data_root>/<img_type>/<...>/<file>``.
+    # The reference hardcodes insertion at index 1, which only works for a
+    # single-segment relative root run from the dataset directory (its
+    # documented usage); this framework also accepts multi-segment and
+    # absolute roots, whose depth the bare filepath does not reveal - so
+    # candidate positions are probed on disk, reference position first
+    # (the reference's exact behavior whenever its layout assumption
+    # holds).
     parts = img_path.split("/")
-    parts.insert(1, img_type)
-    path = os.path.join(*parts)
-    if img_path.startswith("/"):  # preserve absolute roots
-        path = "/" + path.lstrip("/")
+    is_abs = img_path.startswith("/")
+    ref_idx = 2 if is_abs else 1  # after the first real segment
+
+    def joined(idx: int) -> str:
+        p = parts[:idx] + [img_type] + parts[idx:]
+        out = os.path.join(*p)
+        return "/" + out.lstrip("/") if is_abs else out
+
+    path = joined(ref_idx)
+    if not os.path.isfile(path):
+        for idx in range(1 if not is_abs else 2, len(parts)):
+            cand = joined(idx)
+            if os.path.isfile(cand):
+                path = cand
+                break
     # The cache is process-global, so it keys on the RESOLVED path: the
     # typically-relative filepath from get_data would collide across
     # chdirs / same-layout datasets and silently serve stale panels.

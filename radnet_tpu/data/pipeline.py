@@ -287,9 +287,16 @@ def image_sample_generator(
         if train_mode:
             rng.shuffle(data)
         for img_data in data:
-            img = image_loader(
-                img_data["filepath"], config.img_types, random_type=config.use_img_type
+            # Draw the type from the generator's seeded stream (the loader
+            # contract is random_type=False - see tile_sample_generator);
+            # delegating the draw to the loader used an unseeded fallback
+            # rng, making the stream nondeterministic under use_img_type.
+            img_type = (
+                choose_img_type(config.img_types, rng)
+                if config.use_img_type
+                else config.img_types[0]
             )
+            img = image_loader(img_data["filepath"], [img_type], random_type=False)
             meta = {
                 "filepath": img_data["filepath"],
                 "width": img.shape[1],
@@ -649,28 +656,57 @@ def prefetch_to_device(
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
     error: list[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone - an
+        abandoned producer would otherwise block forever on a full queue,
+        pinning ``size`` prepared batches in device memory for the rest of
+        the process (fit() pulls exactly epoch_length * n_epochs batches
+        from an infinite stream, then stops)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in batch_iter:
+                if stop.is_set():
+                    return
                 if sharding is not None:
                     batch = jax.device_put(batch, sharding)
                 else:
                     batch = jax.device_put(batch)
                 if prepare is not None:
                     batch = prepare(batch)
-                q.put(batch)
+                if not _put(batch):
+                    return
         except BaseException as e:  # re-raised on the consumer side
             error.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
-    t = threading.Thread(target=producer, daemon=True)
+    t = threading.Thread(target=producer, daemon=True, name="prefetch_to_device")
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        # Runs on normal exhaustion AND on abandonment (GeneratorExit when
+        # the consumer stops early): release the producer if it is blocked
+        # on a full queue, then let it exit.
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -11,8 +11,18 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _keras_uniform(key, shape, dtype=jnp.float32):
+    """Keras-2 'uniform' = RandomUniform(-0.05, 0.05) (symmetric).
+
+    flax's ``nn.initializers.uniform(scale)`` samples [0, scale) - an
+    all-positive cls-conv init would bias every anchor's pre-sigmoid
+    objectness positive over ReLU features."""
+    return jax.random.uniform(key, shape, dtype, -0.05, 0.05)
 
 
 class RPNHead(nn.Module):
@@ -35,7 +45,7 @@ class RPNHead(nn.Module):
         cls = nn.Conv(
             self.num_anchors,
             (1, 1),
-            kernel_init=nn.initializers.uniform(scale=0.05),
+            kernel_init=_keras_uniform,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
             name="rpn_out_class",

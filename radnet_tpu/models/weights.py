@@ -172,15 +172,34 @@ def load_keras_h5(path, params, batch_stats, network):
     return params, batch_stats, loaded
 
 
+_TORCH_BN_EPS = 1e-5  # torchvision BatchNorm2d default
+
+
 def load_torchvision_resnet50(state_dict, params, batch_stats):
-    """Port a torchvision ``resnet50`` state_dict.
+    """Port a torchvision ``resnet50`` state_dict - an APPROXIMATE port.
 
     ``layer{1..4}`` -> stages 2..5 (`layer4` lands in the RoI head);
     convs transpose OIHW -> HWIO; torchvision convs are bias-free, so flax
     biases keep their (zero) init.  BN: weight/bias/running_mean/
-    running_var -> gamma/beta/mean/var.
+    running_var -> gamma/beta/mean/var, with gamma pre-scaled by
+    ``sqrt((var + eps_keras) / (var + eps_torch))`` so the frozen-BN
+    transform reproduces torch's eps=1e-5 exactly under this model's
+    eps=1e-3 (models/layers.py:29).
+
+    Two architecture mismatches CANNOT be compensated and make this a
+    fine-tuning init rather than a numerics-parity port (prefer a Keras
+    ``.h5``, which matches exactly):
+    * torchvision resnet50 is v1.5 - the projection blocks stride on the
+      3x3 conv2 - while this model follows the reference's Keras v1
+      (stride on the 1x1 conv2a + shortcut, resnet50.py:120-147), so
+      strided blocks read different spatial phases than the weights were
+      trained for;
+    * the stem maxpool is VALID here (Keras) vs pad=1 in torch.
     Returns ``(new_params, new_batch_stats)``.
     """
+    from radnet_tpu.models.layers import FrozenBatchNorm
+
+    keras_eps = FrozenBatchNorm.epsilon
     params = _copy_tree(params)
     batch_stats = _copy_tree(batch_stats)
 
@@ -189,17 +208,20 @@ def load_torchvision_resnet50(state_dict, params, batch_stats):
         _assign(params, path + ("kernel",), np.transpose(w, (2, 3, 1, 0)))
 
     def bn(src: str, path: tuple[str, ...]) -> None:
+        var = np.asarray(state_dict[f"{src}.running_var"], np.float64)
+        eps_fix = np.sqrt((var + keras_eps) / (var + _TORCH_BN_EPS)).astype(
+            np.float32
+        )
         for torch_field, field in (
             ("weight", "gamma"),
             ("bias", "beta"),
             ("running_mean", "mean"),
             ("running_var", "var"),
         ):
-            _assign(
-                batch_stats,
-                path + (field,),
-                np.asarray(state_dict[f"{src}.{torch_field}"]),
-            )
+            a = np.asarray(state_dict[f"{src}.{torch_field}"])
+            if field == "gamma":
+                a = a * eps_fix  # exact eps compensation (see docstring)
+            _assign(batch_stats, path + (field,), a)
 
     conv("conv1", ("trunk", "conv1"))
     bn("bn1", ("trunk", "bn_conv1"))
@@ -263,6 +285,14 @@ def maybe_load_pretrained(config, params, batch_stats, search_paths=()):
 
             sd = torch.load(path, map_location="cpu", weights_only=True)
             new_params, new_stats = load_torchvision_resnet50(sd, params, batch_stats)
+            print(
+                f"WARNING: loaded torchvision weights ({path}) as a "
+                "fine-tuning init: torchvision resnet50 is v1.5 (stride on "
+                "the 3x3 conv) while this model follows the reference's "
+                "Keras v1 (stride on the 1x1 + shortcut), and the stem "
+                "maxpool padding differs - features are approximate, not "
+                "numerics-parity.  Prefer a Keras .h5 weight file."
+            )
             return new_params, new_stats, path
         new_params, new_stats, loaded = load_keras_h5(
             path, params, batch_stats, config.network

@@ -55,12 +55,14 @@ def _brightness(img, key):
 
 
 def _contrast(img, key):
-    """Random intensity rescale (augmentation.py:335-351)."""
+    """Random intensity rescale (augmentation.py:335-351).  The reference's
+    rescale_intensity casts back to uint8 with a plain astype - truncation,
+    not rounding (the noise ops go through img_as_ubyte, which rounds)."""
     k1, k2 = jax.random.split(key)
     lo = _MIN_B * jax.random.uniform(k1)
     hi = (255.0 - _MAX_B) * jax.random.uniform(k2) + _MAX_B
     out = jnp.clip((img - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0) * 255.0
-    return jnp.rint(out)
+    return jnp.floor(out)
 
 
 def _salt_and_pepper(x, key):

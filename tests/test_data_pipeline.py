@@ -367,6 +367,57 @@ def test_parallel_generator_propagates_worker_errors(tmp_path, monkeypatch):
         next(gen)
 
 
+def test_prefetch_to_device_releases_producer_on_abandonment():
+    """A consumer that stops early (fit() pulls exactly epoch_length *
+    n_epochs batches from the infinite train stream) must release the
+    producer thread; a producer blocked forever on the full queue pins
+    `size` prepared batches in device memory for the rest of the process."""
+    import threading
+    import time as _time
+
+    from radnet_tpu.data.pipeline import prefetch_to_device
+
+    def batches():
+        while True:
+            yield {"x": np.zeros((2, 2), np.float32)}
+
+    gen = prefetch_to_device(batches(), size=2)
+    next(gen)
+    next(gen)
+    gen.close()  # abandonment: GeneratorExit runs the finally block
+
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        if not any(
+            t.name == "prefetch_to_device" and t.is_alive()
+            for t in threading.enumerate()
+        ):
+            break
+        _time.sleep(0.05)
+    assert not any(
+        t.name == "prefetch_to_device" and t.is_alive()
+        for t in threading.enumerate()
+    )
+
+
+def test_get_image_absolute_root_type_injection(tmp_path):
+    """An absolute data root must get the image type injected after the
+    root's first segment (`<root>/<type>/...`), not as the first directory
+    under the filesystem root (`/<type>/<root>/...`)."""
+    import cv2
+
+    from radnet_tpu.data import dataset
+
+    os.makedirs(tmp_path / "data" / "t" / "train", exist_ok=True)
+    ref = np.random.default_rng(1).integers(0, 255, (8, 9, 3), np.uint8)
+    cv2.imwrite(str(tmp_path / "data" / "t" / "train" / "p.png"), ref)
+
+    abs_path = str(tmp_path / "data" / "train" / "p.png")  # type segment omitted
+    assert abs_path.startswith("/")
+    img = dataset.get_image(abs_path, ["t"])
+    assert img.shape == (8, 9, 3)
+
+
 def test_decoded_image_cache(tmp_path, monkeypatch):
     """get_image caches decoded panels (read-only), evicts by LRU budget."""
     import cv2
