@@ -173,7 +173,13 @@ def test_train_cont_and_predict(workspace, monkeypatch):
     panel_path = os.path.join("data", cfg.img_types[0], "train", "train_0.png")
     out_json = "served_0.json"
     monkeypatch.setattr(
-        _sys, "stdin", io.StringIO(f"{panel_path}\t{out_json}\nmissing.png\n")
+        _sys,
+        "stdin",
+        io.StringIO(
+            f"{panel_path}\t{out_json}\n"
+            "missing.png\n"
+            f"{panel_path}\t/no_such_dir/out.json\n"
+        ),
     )
     captured = io.StringIO()
     monkeypatch.setattr(_sys, "stdout", captured)
@@ -185,6 +191,9 @@ def test_train_cont_and_predict(workspace, monkeypatch):
     lines = [json.loads(l) for l in captured.getvalue().strip().splitlines()]
     assert lines[0]["path"] == panel_path and "detections" in lines[0]
     assert "error" in lines[1]  # bad input keeps the worker alive
+    # An unwritable --out-file must not kill the worker or lose the result:
+    # the detections come back on stdout with the write error noted.
+    assert "detections" in lines[2] and "out_file_error" in lines[2]
     with open(out_json) as f:
         assert json.load(f)["path"] == panel_path
 
