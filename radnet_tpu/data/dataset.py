@@ -63,22 +63,7 @@ def get_image(
     # candidate positions are probed on disk, reference position first
     # (the reference's exact behavior whenever its layout assumption
     # holds).
-    parts = img_path.split("/")
-    is_abs = img_path.startswith("/")
-    ref_idx = 2 if is_abs else 1  # after the first real segment
-
-    def joined(idx: int) -> str:
-        p = parts[:idx] + [img_type] + parts[idx:]
-        out = os.path.join(*p)
-        return "/" + out.lstrip("/") if is_abs else out
-
-    path = joined(ref_idx)
-    if not os.path.isfile(path):
-        for idx in range(1 if not is_abs else 2, len(parts)):
-            cand = joined(idx)
-            if os.path.isfile(cand):
-                path = cand
-                break
+    path = _resolve_typed_path(img_path, img_type)
     # The cache is process-global, so it keys on the RESOLVED path: the
     # typically-relative filepath from get_data would collide across
     # chdirs / same-layout datasets and silently serve stale panels.
@@ -91,6 +76,59 @@ def get_image(
         raise FileNotFoundError(f"cannot decode image: {path}")
     _decoded_cache_put(key, img)
     return img.copy() if writable else img
+
+
+_resolved_paths: dict[tuple[str, str], str] = {}
+_resolved_paths_lock = threading.Lock()
+
+
+def _resolve_typed_path(img_path: str, img_type: str) -> str:
+    """Insertion position of the type segment, probed on disk and memoized.
+
+    The reference position (index 1: right after the data root) is tried
+    first - the reference's exact behavior whenever its single-segment
+    relative-root layout assumption holds; for multi-segment or absolute
+    roots (whose depth the bare filepath does not reveal) every other
+    position is probed, including index 1 of absolute paths (a layout
+    earlier releases of this framework produced).  Memoized per
+    (img_path, img_type): panels are re-read every epoch and the probing
+    stats would otherwise repeat per tile read.
+    """
+    # Absolute memo key: a relative filepath must not serve a stale
+    # resolution across chdirs (same reason the decoded cache keys on the
+    # resolved absolute path).
+    memo_key = (os.path.abspath(img_path), img_type)
+    with _resolved_paths_lock:
+        hit = _resolved_paths.get(memo_key)
+    if hit is not None:
+        return hit
+
+    parts = img_path.split("/")
+    is_abs = img_path.startswith("/")
+    ref_idx = 2 if is_abs else 1  # after the first real segment
+
+    def joined(idx: int) -> str:
+        p = parts[:idx] + [img_type] + parts[idx:]
+        out = os.path.join(*p)
+        return "/" + out.lstrip("/") if is_abs else out
+
+    path = joined(ref_idx)
+    if not os.path.isfile(path):
+        for idx in range(1, len(parts)):
+            if idx == ref_idx:
+                continue
+            cand = joined(idx)
+            if os.path.isfile(cand):
+                path = cand
+                break
+        else:
+            # Unresolvable: return the reference position (the caller's
+            # imdecode raises a path-bearing error) and do NOT memoize -
+            # the file may appear later (e.g. datasets staged per split).
+            return path
+    with _resolved_paths_lock:
+        _resolved_paths[memo_key] = path
+    return path
 
 
 # --------------------------------------------------------------------------- #

@@ -418,6 +418,37 @@ def test_get_image_absolute_root_type_injection(tmp_path):
     assert img.shape == (8, 9, 3)
 
 
+def test_resolve_typed_path_probing_and_memo(monkeypatch):
+    """The resolver tries the reference position first, falls back to any
+    on-disk position (including index 1 of absolute paths - a layout this
+    framework's earlier releases produced), and memoizes hits."""
+    import os.path as osp
+
+    from radnet_tpu.data import dataset
+
+    dataset._resolved_paths.clear()
+    stats: list[str] = []
+
+    def fake_isfile(p):
+        stats.append(p)
+        return p == "/t/root/train/p.png"  # old absolute layout, index 1
+
+    monkeypatch.setattr(osp, "isfile", fake_isfile)
+    assert dataset._resolve_typed_path("/root/train/p.png", "t") == "/t/root/train/p.png"
+    # Memoized: the second call must not stat at all.
+    n = len(stats)
+    assert dataset._resolve_typed_path("/root/train/p.png", "t") == "/t/root/train/p.png"
+    assert len(stats) == n
+
+    # Unresolvable paths return the reference position and are NOT
+    # memoized (the file may appear later).
+    monkeypatch.setattr(osp, "isfile", lambda p: False)
+    n_memo = len(dataset._resolved_paths)
+    assert dataset._resolve_typed_path("a/b.png", "t") == "a/t/b.png"
+    assert len(dataset._resolved_paths) == n_memo
+    dataset._resolved_paths.clear()
+
+
 def test_decoded_image_cache(tmp_path, monkeypatch):
     """get_image caches decoded panels (read-only), evicts by LRU budget."""
     import cv2

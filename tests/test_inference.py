@@ -153,6 +153,7 @@ def test_device_vs_host_tiling_equivalence(prescale):
         r = RADNet(cfg, model, params, state.batch_stats)
         dets[device_tiling] = r.predict([panel])
 
+    assert len(dets[True]) > 0  # a dead detector must not pass vacuously
     _match_det_sets(dets[True], dets[False])
 
 
@@ -166,7 +167,10 @@ def _match_det_sets(dev, host, max_unmatched_frac=0.15):
     legitimately appear on one side only.  A small unmatched remainder is
     tolerated; a slicing/ratio/scale REGRESSION (what this matcher exists
     to catch) shifts or drops most of the set and still fails loudly."""
-    n = max(len(dev), len(host))
+    # Orphans from both sides are pooled, so the budget is a fraction of
+    # the pooled count (frac of ONE side would halve the advertised
+    # tolerance when each side has its own legitimate tile-edge orphan).
+    n = len(dev) + len(host)
     assert abs(len(dev) - len(host)) <= max_unmatched_frac * n, (len(dev), len(host))
     unmatched = list(host)
     missing = []
