@@ -149,6 +149,35 @@ def test_train_cont_and_predict(workspace, monkeypatch):
     assert rc == 0
     assert os.path.exists("viz_check/test_data_0.png")
 
+    # Anchor analysis (reference test_data.py:54-184, the commented-out
+    # KMeans / anchors_summary block): stats + cluster scales + per-anchor
+    # positive usage must come out as one JSON report.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = test_data_main(
+            [
+                "--config-json", "tiny_config.json",
+                "--train-annot", "train.csv",
+                "--train-data", "data/train",
+                "--analyze-anchors",
+                "--usage-samples", "2",
+            ]
+        )
+    assert rc == 0
+    out = buf.getvalue()
+    report = json.loads(out[out.index("{"):])
+    assert report["n_boxes"] > 0
+    assert len(report["kmeans_wh_clusters"]) == 3
+    usage = report["anchor_usage"]
+    assert usage["n_samples"] == 2
+    per = usage["positives_per_anchor"]
+    assert set(per) == {str(s) for s in cfg.anchor_box_scales}
+    total = sum(sum(d.values()) for d in per.values())
+    assert total > 0  # some anchor fired on the synthetic boxes
+
     # RPN-recall debugger (reference test_rpn.py workflow).
     from radnet_tpu.cli.test_rpn import main as test_rpn_main
 
