@@ -53,6 +53,26 @@ def add_mesh_args(p) -> None:
     )
 
 
+def add_quantize_arg(p) -> None:
+    """Serving-time quantization flag shared by the inference CLIs."""
+    p.add_argument(
+        "--quantize",
+        choices=["int8", "none"],
+        default=None,
+        help="run the RoI head in int8 on the MXU (2x bf16 peak; "
+        "measure the mAP delta first - see models/quant.py). "
+        "'none' overrides a saved config.infer_quantize; default: "
+        "whatever the model dir's config.json says",
+    )
+
+
+def quantize_from_args(args) -> str | None:
+    q = getattr(args, "quantize", None)
+    if q is None:
+        return None
+    return "" if q == "none" else q
+
+
 def mesh_from_args(args):
     """Build the (data x model) mesh requested by --n-devices, or None."""
     n = getattr(args, "n_devices", None)

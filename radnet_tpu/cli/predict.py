@@ -60,9 +60,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--models-path", default="models")
     p.add_argument("--model-name", default="faster_rcnn_resnet50_raod_base")
     p.add_argument("--scan-data-path", required=True)
-    from radnet_tpu.cli.common import add_mesh_args
+    from radnet_tpu.cli.common import add_mesh_args, add_quantize_arg
 
     add_mesh_args(p)
+    add_quantize_arg(p)
     return p
 
 
@@ -73,10 +74,12 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     model_path = os.path.join(args.models_path, args.model_name)
 
-    from radnet_tpu.cli.common import mesh_from_args
+    from radnet_tpu.cli.common import mesh_from_args, quantize_from_args
 
     print("\n\nMaking predictions.")
-    radnet = load_radnet(model_path, mesh=mesh_from_args(args))
+    radnet = load_radnet(
+        model_path, mesh=mesh_from_args(args), quantize=quantize_from_args(args)
+    )
 
     images = [
         _read(resolve_type_path(args.scan_data_path, t)) for t in radnet.C.img_types

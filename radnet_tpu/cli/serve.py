@@ -70,9 +70,10 @@ def build_argparser() -> argparse.ArgumentParser:
         "pipelines additionally overlap result fetches with later panels' "
         "prep at the cost of per-panel latency. Results stay in input order.",
     )
-    from radnet_tpu.cli.common import add_mesh_args
+    from radnet_tpu.cli.common import add_mesh_args, add_quantize_arg
 
     add_mesh_args(p)
+    add_quantize_arg(p)
     return p
 
 
@@ -99,10 +100,12 @@ def main(argv=None) -> int:
 
     import os
 
-    from radnet_tpu.cli.common import mesh_from_args
+    from radnet_tpu.cli.common import mesh_from_args, quantize_from_args
 
     radnet = load_radnet(
-        os.path.join(args.models_path, args.model_name), mesh=mesh_from_args(args)
+        os.path.join(args.models_path, args.model_name),
+        mesh=mesh_from_args(args),
+        quantize=quantize_from_args(args),
     )
 
     if args.warmup_size:

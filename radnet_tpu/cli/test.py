@@ -56,9 +56,10 @@ def build_argparser() -> argparse.ArgumentParser:
         default=0.005,
         help="max acceptable mAP shortfall vs --compare (0.005 = 0.5 pts)",
     )
-    from radnet_tpu.cli.common import add_mesh_args
+    from radnet_tpu.cli.common import add_mesh_args, add_quantize_arg
 
     add_mesh_args(p)
+    add_quantize_arg(p)
     return p
 
 
@@ -102,10 +103,12 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     model_path = os.path.join(args.models_path, args.model_name)
 
-    from radnet_tpu.cli.common import mesh_from_args
+    from radnet_tpu.cli.common import mesh_from_args, quantize_from_args
 
     print("\n\nMaking predictions on TEST data.")
-    radnet = load_radnet(model_path, mesh=mesh_from_args(args))
+    radnet = load_radnet(
+        model_path, mesh=mesh_from_args(args), quantize=quantize_from_args(args)
+    )
     data_test, _, _ = get_data(args.test_annot, args.test_data, radnet.C.img_types)
     if args.limit:
         data_test = data_test[: args.limit]

@@ -184,6 +184,15 @@ class Config:
     # tile_size (prescale would upscale).
     infer_panel_prescale: bool = True
     compute_dtype: str = "bfloat16"  # backbone compute dtype on TPU
+    # Serving-throughput knob with no reference counterpart: run the RoI
+    # head's convs/dense layers in dynamic int8 (per-out-channel weight
+    # scales, per-RoI activation scales, int32 accumulation) at inference
+    # ONLY - the MXU's int8 peak is 2x bf16 and the head is ~87% of
+    # cascade FLOPs.  Training and checkpoints are unaffected (the quant
+    # path is a compute substitution over the same params; see
+    # models/quant.py).  None = full-precision reference parity; "int8"
+    # enables it.  Measure the mAP delta on your eval set before shipping.
+    infer_quantize: str | None = None
     vgg_fc_dim: int = 4096  # VGG16 head width (vgg16.py:97-99); reduced in tests
 
     # Output model path prefix (reference config.py:133).

@@ -693,17 +693,21 @@ class RADNet:
         return fn
 
 
-def load_radnet(model_dir: str, mesh=None) -> RADNet:
+def load_radnet(model_dir: str, mesh=None, quantize: str | None = None) -> RADNet:
     """Build a RADNet from a trained model directory (config.json +
     ckpt_best/ checkpoint) - the ``load_radnet`` factory (RADNet.py:721-775),
     minus the pickle trust.  ``mesh``: optional multi-chip serving mesh
-    (see :class:`RADNet`)."""
+    (see :class:`RADNet`).  ``quantize``: serving-time override of
+    ``config.infer_quantize`` ("int8" runs the RoI head on the MXU's int8
+    path; checkpoints are unaffected - models/quant.py)."""
     import jax.random as jrandom
 
     from radnet_tpu.engine.checkpoint import restore_checkpoint
     from radnet_tpu.engine.train_state import create_train_state
 
     config = Config.load(os.path.join(model_dir, "config.json"))
+    if quantize is not None:
+        config.infer_quantize = quantize or None  # "" clears a saved value
     model = build_model(config)
     template = create_train_state(model, config, jrandom.PRNGKey(0))
     from radnet_tpu.engine.checkpoint import _resolve_checkpoint_path

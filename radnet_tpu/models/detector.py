@@ -35,14 +35,19 @@ class FasterRCNN(nn.Module):
     num_anchors: int
     dtype: Any = jnp.bfloat16
     vgg_fc_dim: int = 4096
+    # "int8": RoI head convs/dense run quantized in deterministic
+    # (inference) mode only - config.infer_quantize (models/quant.py).
+    head_quant: str | None = None
 
     def setup(self):
+        quant = self.head_quant == "int8"
         if self.network == "vgg16":
             self.trunk = vgg.VGG16Trunk(dtype=self.dtype, name="trunk")
             self.head = vgg.VGG16RoIHead(
                 n_classes=self.n_classes,
                 dtype=self.dtype,
                 fc_dim=self.vgg_fc_dim,
+                quantize=quant,
                 name="head",
             )
             self._pool_size = vgg.POOL_SIZE
@@ -57,6 +62,7 @@ class FasterRCNN(nn.Module):
                 n_classes=self.n_classes,
                 dtype=self.dtype,
                 pre_strided=True,
+                quantize=quant,
                 name="head",
             )
             self._pool_size = resnet.POOL_SIZE // 2
@@ -130,4 +136,5 @@ def build_model(config: Config) -> FasterRCNN:
         num_anchors=config.n_anchors,
         dtype=jnp.dtype(config.compute_dtype),
         vgg_fc_dim=config.vgg_fc_dim,
+        head_quant=getattr(config, "infer_quantize", None),
     )

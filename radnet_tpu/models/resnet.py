@@ -39,24 +39,37 @@ class Bottleneck(nn.Module):
     stride: int = 1
     project: bool = False  # conv_block (projection shortcut) vs identity
     dtype: Any = jnp.float32
+    quantize: bool = False  # int8 conv path (models/quant.py); params identical
+
+    def _conv(self, features, ksize, strides=(1, 1), padding="VALID", name=None):
+        if self.quantize:
+            from radnet_tpu.models.quant import QuantConv
+
+            return QuantConv(
+                features=features, kernel_size=ksize, strides=strides,
+                padding=padding, dtype=self.dtype, name=name,
+            )
+        return nn.Conv(
+            features, ksize, strides=strides, padding=padding, name=name,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         f1, f2, f3 = self.filters
         s = (self.stride, self.stride)
-        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
 
-        y = nn.Conv(f1, (1, 1), strides=s, padding="VALID", name="conv2a", **kw)(x)
+        y = self._conv(f1, (1, 1), strides=s, name="conv2a")(x)
         y = FrozenBatchNorm(dtype=self.dtype, name="bn2a")(y)
         y = nn.relu(y)
-        y = nn.Conv(f2, (3, 3), padding="SAME", name="conv2b", **kw)(y)
+        y = self._conv(f2, (3, 3), padding="SAME", name="conv2b")(y)
         y = FrozenBatchNorm(dtype=self.dtype, name="bn2b")(y)
         y = nn.relu(y)
-        y = nn.Conv(f3, (1, 1), padding="VALID", name="conv2c", **kw)(y)
+        y = self._conv(f3, (1, 1), name="conv2c")(y)
         y = FrozenBatchNorm(dtype=self.dtype, name="bn2c")(y)
 
         if self.project:
-            sc = nn.Conv(f3, (1, 1), strides=s, padding="VALID", name="conv_sc", **kw)(x)
+            sc = self._conv(f3, (1, 1), strides=s, name="conv_sc")(x)
             sc = FrozenBatchNorm(dtype=self.dtype, name="bn_sc")(sc)
         else:
             sc = x
@@ -179,16 +192,20 @@ class ResNet50RoIHead(nn.Module):
     n_classes: int
     dtype: Any = jnp.float32
     pre_strided: bool = False
+    quantize: bool = False  # int8 stage-5 convs at inference (models/quant.py)
 
     @nn.compact
     def __call__(self, rois: jnp.ndarray, *, deterministic: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
-        del deterministic  # no dropout in the ResNet head (resnet50.py:231-280)
+        # No dropout in the ResNet head (resnet50.py:231-280); deterministic
+        # instead gates the int8 path so TRAINING always runs float (the
+        # quantizer's round() has zero gradient).
+        quant = self.quantize and deterministic
         x = rois.astype(self.dtype)
         # stage 5 (resnet50.py:257-259): conv block stride 2 -> 7x7
         s5a_stride = 1 if self.pre_strided else 2
-        x = Bottleneck((512, 512, 2048), stride=s5a_stride, project=True, dtype=self.dtype, name="s5a")(x)
-        x = Bottleneck((512, 512, 2048), dtype=self.dtype, name="s5b")(x)
-        x = Bottleneck((512, 512, 2048), dtype=self.dtype, name="s5c")(x)
+        x = Bottleneck((512, 512, 2048), stride=s5a_stride, project=True, dtype=self.dtype, quantize=quant, name="s5a")(x)
+        x = Bottleneck((512, 512, 2048), dtype=self.dtype, quantize=quant, name="s5b")(x)
+        x = Bottleneck((512, 512, 2048), dtype=self.dtype, quantize=quant, name="s5c")(x)
         x = nn.avg_pool(x, (7, 7), strides=(7, 7))  # TD AveragePooling2D((7,7))
         x = x.reshape(x.shape[0], -1)  # (N, 2048)
 

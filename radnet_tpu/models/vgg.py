@@ -57,14 +57,29 @@ class VGG16RoIHead(nn.Module):
     dtype: Any = jnp.float32
     dropout_rate: float = 0.5  # vgg16.py:98,100
     fc_dim: int = 4096  # vgg16.py:97-99
+    quantize: bool = False  # int8 fc1/fc2 at inference (models/quant.py)
 
     @nn.compact
     def __call__(self, rois: jnp.ndarray, *, deterministic: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+        # int8 only in deterministic (inference) mode: training always runs
+        # float (the quantizer's round() has zero gradient).  Param trees
+        # are identical either way (models/quant.py).
+        if self.quantize and deterministic:
+            from radnet_tpu.models.quant import QuantDense
+
+            def dense(features, name):
+                return QuantDense(features=features, dtype=self.dtype, name=name)
+        else:
+            def dense(features, name):
+                return nn.Dense(
+                    features, dtype=self.dtype, param_dtype=jnp.float32, name=name
+                )
+
         x = rois.reshape(rois.shape[0], -1).astype(self.dtype)  # TD Flatten
-        x = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = dense(self.fc_dim, "fc1")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        x = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        x = dense(self.fc_dim, "fc2")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
 

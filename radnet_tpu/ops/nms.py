@@ -30,7 +30,11 @@ import jax.numpy as jnp
 
 from radnet_tpu.geometry import iou_matrix
 
-NEG_INF = jnp.float32(-jnp.inf)
+# A numpy scalar, NOT jnp: a module-level jnp constant materializes on
+# the default device at import, which initializes the (tunneled) backend
+# before any CLI can even print --help; np.float32 weakly types the same
+# way inside jit.
+NEG_INF = np.float32(-np.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "cast_int"))
