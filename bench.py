@@ -27,14 +27,14 @@ import time
 import numpy as np
 
 
-def build_radnet(device=None):
+def build_radnet(device=None, quantize=None):
     import jax
     from radnet_tpu.config import Config
     from radnet_tpu.engine.train_state import create_train_state
     from radnet_tpu.inference import RADNet
     from radnet_tpu.models.detector import build_model
 
-    config = Config(network="resnet50")
+    config = Config(network="resnet50", infer_quantize=quantize)
     model = build_model(config)
     state = create_train_state(model, config, jax.random.PRNGKey(0))
     params, stats = state.params, state.batch_stats
@@ -237,6 +237,15 @@ def main() -> int:
     wh_np = np.full((bs, 2), float(config.img_size), np.float32)
     dev_tile_s = time_tile_batches(radnet, config, default_dev, 4, batch_np, wh_np)
 
+    # Optional int8 RoI-head path (config.infer_quantize / --quantize int8):
+    # same params, head matmuls on the MXU's int8 peak.  Device-only tile
+    # time; the headline stays the full-precision parity path.
+    try:
+        q_radnet, q_cfg = build_radnet(quantize="int8")
+        int8_tile_s = time_tile_batches(q_radnet, q_cfg, default_dev, 4, batch_np, wh_np)
+    except Exception:
+        int8_tile_s = float("nan")
+
     # vs_baseline: the CPU-proxy tile time is PINNED in BASELINE.json
     # (measured once on this host) so BENCH_r*.json is comparable across
     # rounds - the live proxy re-measurement swings ~2x run-to-run with
@@ -286,6 +295,9 @@ def main() -> int:
                     "sec_per_panel_pipelined": round(pipelined_sec, 3),
                     "tiles_per_sec": round(n_tiles / pipelined_sec, 2),
                     "device_sec_per_tile": round(dev_tile_s, 4),
+                    "int8_device_sec_per_tile": round(int8_tile_s, 4)
+                    if np.isfinite(int8_tile_s)
+                    else None,
                     "mfu": round(mfu, 3) if np.isfinite(mfu) else None,
                     "train_steps_per_sec": round(train_steps_s, 2)
                     if np.isfinite(train_steps_s)
