@@ -53,6 +53,37 @@ def add_mesh_args(p) -> None:
     )
 
 
+def add_platform_arg(p) -> None:
+    """Backend-selection flag shared by every CLI.
+
+    The default backend is whatever jax resolves (the TPU on TPU hosts).
+    ``--platform cpu`` runs the same program on the host CPU - useful on
+    TPU-less machines and during TPU-backend outages (the tunneled
+    backend can be unavailable for long stretches; the detector is small
+    enough that CPU eval/predict is slow but usable)."""
+    p.add_argument(
+        "--platform",
+        choices=["cpu", "tpu"],
+        default=None,
+        help="jax backend to run on; default: the platform jax resolves "
+        "(the TPU on TPU hosts). 'cpu' forces host-CPU execution",
+    )
+
+
+def apply_platform(args) -> None:
+    """Apply --platform before anything touches a device.
+
+    Uses ``jax.config.update`` (NOT the JAX_PLATFORMS env var, which
+    site customizations can override).  Must run before the first device
+    use; no module in this package initializes the backend at import, so
+    calling this right after ``parse_args`` is early enough."""
+    plat = getattr(args, "platform", None)
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def add_quantize_arg(p) -> None:
     """Serving-time quantization flag shared by the inference CLIs."""
     p.add_argument(

@@ -53,9 +53,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--lr", type=float, default=2e-5)  # cont_train.py:170
     p.add_argument("--fresh-optimizer", action="store_true")
-    from radnet_tpu.cli.common import add_mesh_args
+    from radnet_tpu.cli.common import add_mesh_args, add_platform_arg
 
     add_mesh_args(p)
+    add_platform_arg(p)
     return p
 
 
@@ -64,6 +65,9 @@ def main(argv=None) -> int:
 
     enable_compile_cache()
     args = build_argparser().parse_args(argv)
+    from radnet_tpu.cli.common import apply_platform
+
+    apply_platform(args)
     np.random.seed(args.seed)
 
     model_path = os.path.join(args.models_path, args.model_name)

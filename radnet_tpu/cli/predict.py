@@ -60,9 +60,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--models-path", default="models")
     p.add_argument("--model-name", default="faster_rcnn_resnet50_raod_base")
     p.add_argument("--scan-data-path", required=True)
-    from radnet_tpu.cli.common import add_mesh_args, add_quantize_arg
+    from radnet_tpu.cli.common import (
+        add_mesh_args,
+        add_platform_arg,
+        add_quantize_arg,
+    )
 
     add_mesh_args(p)
+    add_platform_arg(p)
     add_quantize_arg(p)
     return p
 
@@ -72,6 +77,9 @@ def main(argv=None) -> int:
 
     enable_compile_cache()
     args = build_argparser().parse_args(argv)
+    from radnet_tpu.cli.common import apply_platform
+
+    apply_platform(args)
     model_path = os.path.join(args.models_path, args.model_name)
 
     from radnet_tpu.cli.common import mesh_from_args, quantize_from_args

@@ -70,9 +70,14 @@ def build_argparser() -> argparse.ArgumentParser:
         "pipelines additionally overlap result fetches with later panels' "
         "prep at the cost of per-panel latency. Results stay in input order.",
     )
-    from radnet_tpu.cli.common import add_mesh_args, add_quantize_arg
+    from radnet_tpu.cli.common import (
+        add_mesh_args,
+        add_platform_arg,
+        add_quantize_arg,
+    )
 
     add_mesh_args(p)
+    add_platform_arg(p)
     add_quantize_arg(p)
     return p
 
@@ -97,6 +102,9 @@ def main(argv=None) -> int:
 
     enable_compile_cache()
     args = build_argparser().parse_args(argv)
+    from radnet_tpu.cli.common import apply_platform
+
+    apply_platform(args)
 
     import os
 

@@ -56,9 +56,14 @@ def build_argparser() -> argparse.ArgumentParser:
         default=0.005,
         help="max acceptable mAP shortfall vs --compare (0.005 = 0.5 pts)",
     )
-    from radnet_tpu.cli.common import add_mesh_args, add_quantize_arg
+    from radnet_tpu.cli.common import (
+        add_mesh_args,
+        add_platform_arg,
+        add_quantize_arg,
+    )
 
     add_mesh_args(p)
+    add_platform_arg(p)
     add_quantize_arg(p)
     return p
 
@@ -101,6 +106,9 @@ def main(argv=None) -> int:
 
     enable_compile_cache()
     args = build_argparser().parse_args(argv)
+    from radnet_tpu.cli.common import apply_platform
+
+    apply_platform(args)
     model_path = os.path.join(args.models_path, args.model_name)
 
     from radnet_tpu.cli.common import mesh_from_args, quantize_from_args

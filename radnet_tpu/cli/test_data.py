@@ -25,7 +25,10 @@ from radnet_tpu.ops.anchors import image_anchors_xyxy
 
 
 def build_argparser() -> argparse.ArgumentParser:
+    from radnet_tpu.cli.common import add_platform_arg
+
     p = argparse.ArgumentParser(description=__doc__)
+    add_platform_arg(p)
     p.add_argument("--seed", type=int, default=27)  # test_data.py:28
     p.add_argument("--train-annot", default="data/train.csv")
     p.add_argument("--train-data", default="data/train")
@@ -183,6 +186,9 @@ def main(argv=None) -> int:
 
     enable_compile_cache()
     args = build_argparser().parse_args(argv)
+    from radnet_tpu.cli.common import apply_platform
+
+    apply_platform(args)
     config = Config.load(args.config_json) if args.config_json else Config()
     if args.network:
         config.network = args.network

@@ -28,9 +28,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data", default="data/train")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--iou", type=float, default=0.5)
-    from radnet_tpu.cli.common import add_mesh_args
+    from radnet_tpu.cli.common import add_mesh_args, add_platform_arg
 
     add_mesh_args(p)
+    add_platform_arg(p)
     return p
 
 
@@ -39,6 +40,9 @@ def main(argv=None) -> int:
 
     enable_compile_cache()
     args = build_argparser().parse_args(argv)
+    from radnet_tpu.cli.common import apply_platform
+
+    apply_platform(args)
     model_path = os.path.join(args.models_path, args.model_name)
     out_dir = os.path.join(model_path, "test_rpn")
     os.makedirs(out_dir, exist_ok=True)

@@ -68,9 +68,10 @@ def build_argparser() -> argparse.ArgumentParser:
         "but no weight file is found (resnet50 + FrozenBatchNorm is NOT "
         "trainable from random init - see models/weights.py)",
     )
-    from radnet_tpu.cli.common import add_mesh_args
+    from radnet_tpu.cli.common import add_mesh_args, add_platform_arg
 
     add_mesh_args(p)
+    add_platform_arg(p)
     return p
 
 
@@ -133,6 +134,9 @@ def main(argv=None) -> int:
 
     enable_compile_cache()
     args = build_argparser().parse_args(argv)
+    from radnet_tpu.cli.common import apply_platform
+
+    apply_platform(args)
 
     np.random.seed(args.seed)
     rng = jax.random.PRNGKey(args.seed)

@@ -48,3 +48,43 @@ def test_root_wrappers_import_their_cli_main():
         assert m.group(1) == name
         mod = importlib.import_module(f"radnet_tpu.cli.{name}")
         assert callable(mod.main), name
+
+
+def test_every_cli_accepts_platform_and_applies_it():
+    """--platform is on all seven CLIs and apply_platform sets the jax
+    backend config (the env var is overridden by site customizations on
+    tunneled hosts, so the flag must go through jax.config)."""
+    import importlib
+
+    import jax
+
+    from radnet_tpu.cli.common import apply_platform
+
+    for name in ("train", "cont_train", "test", "predict",
+                 "test_data", "test_rpn", "serve"):
+        mod = importlib.import_module(f"radnet_tpu.cli.{name}")
+        p = mod.build_argparser()
+        platform_actions = [
+            a for a in p._actions if "--platform" in a.option_strings
+        ]
+        assert platform_actions, name
+        assert platform_actions[0].choices == ["cpu", "tpu"], name
+
+    class A:
+        platform = "cpu"
+
+    apply_platform(A())  # conftest already forces cpu; must be a no-op
+    assert jax.config.jax_platforms == "cpu"
+
+
+def test_quantize_arg_mapping():
+    from radnet_tpu.cli.common import quantize_from_args
+
+    class A:
+        quantize = None
+
+    assert quantize_from_args(A()) is None
+    A.quantize = "int8"
+    assert quantize_from_args(A()) == "int8"
+    A.quantize = "none"
+    assert quantize_from_args(A()) == ""  # load_radnet maps "" -> cleared
