@@ -56,13 +56,22 @@ def time_tile_batches(radnet, config, device, n_batches: int, batch_np, wh_np):
     images = jax.device_put(jnp.asarray(batch_np), device)
     wh = jax.device_put(jnp.asarray(wh_np), device)
     perturbed = [images + jnp.float32(i) for i in range(n_batches)]
+
+    def _barrier(out):
+        # Scalar VALUE fetch: block_until_ready can return before device
+        # completion on the tunneled backend (CLAUDE.md pitfall #3).  The
+        # device stream executes in order, so forcing the last batch's
+        # output forces them all; the on-device index keeps the fetch at
+        # 4 bytes.
+        float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
     # compile
     out = radnet._predict_tiles(images, wh)
-    jax.block_until_ready(out)
+    _barrier(out)
     t0 = time.perf_counter()
     for i in range(n_batches):
         out = radnet._predict_tiles(perturbed[i], wh)
-    jax.block_until_ready(out)
+    _barrier(out)
     dt = time.perf_counter() - t0
     return dt / (n_batches * images.shape[0])
 
@@ -127,25 +136,35 @@ def time_train_step(config_overrides=None, n_steps: int = 60, peak_flops: float 
     }
     key = jax.random.PRNGKey(1)
     K = max(1, int(config.train_bundle_steps))
+
+    def _barrier(metrics):
+        # A scalar VALUE fetch is the only completion barrier the tunneled
+        # backend cannot misreport: block_until_ready(state.params) has
+        # returned before device completion here (measured batch-8 "3445
+        # steps/s" - CLAUDE.md pitfall #3).  The loop threads state, so
+        # fetching the last step's loss forces the whole chain.  Bundle
+        # metrics are (K,)-shaped; index down to a 4-byte fetch.
+        float(jax.tree_util.tree_leaves(metrics)[0].ravel()[0])
+
     if K > 1:
         bundle = make_train_bundle(model, config, K, donate=True)
         batches = [batch] * K
-        state, key, _ = bundle(state, batches, key)  # compile
-        jax.block_until_ready(state.params)
+        state, key, metrics = bundle(state, batches, key)  # compile
+        _barrier(metrics)
         n_bundles = max(1, n_steps // K)
         t0 = time.perf_counter()
         for _ in range(n_bundles):
             state, key, metrics = bundle(state, batches, key)
-        jax.block_until_ready(state.params)
+        _barrier(metrics)
         dt = (time.perf_counter() - t0) / (n_bundles * K)
     else:
-        state, _ = train_step(state, batch, key)  # compile
-        jax.block_until_ready(state.params)
+        state, metrics = train_step(state, batch, key)  # compile
+        _barrier(metrics)
         t0 = time.perf_counter()
         for i in range(n_steps):
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, batch, sub)
-        jax.block_until_ready(state.params)
+        _barrier(metrics)
         dt = (time.perf_counter() - t0) / n_steps
     try:
         comp = train_step._jitted.lower(
