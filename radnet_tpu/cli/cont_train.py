@@ -119,17 +119,26 @@ def main(argv=None) -> int:
     mesh = mesh_from_args(args)
     state, batch_sh = shard_for_mesh(config, state, mesh)
 
-    train_step = make_train_step(
-        model, config, trunk_trainable=config.base_net_cont_trainable, donate=True
-    )
-    train_bundle = (
-        make_train_bundle(
-            model, config, config.train_bundle_steps,
-            trunk_trainable=config.base_net_cont_trainable, donate=True,
+    if config.train_schedule == "alternating":
+        from radnet_tpu.engine.steps import make_alternating_train_step
+
+        train_step = make_alternating_train_step(
+            model, config, trunk_trainable=config.base_net_cont_trainable,
+            donate=True,
         )
-        if config.train_bundle_steps > 1
-        else None
-    )
+        train_bundle = None
+    else:
+        train_step = make_train_step(
+            model, config, trunk_trainable=config.base_net_cont_trainable, donate=True
+        )
+        train_bundle = (
+            make_train_bundle(
+                model, config, config.train_bundle_steps,
+                trunk_trainable=config.base_net_cont_trainable, donate=True,
+            )
+            if config.train_bundle_steps > 1
+            else None
+        )
     eval_step = make_eval_step(model, config) if use_val else None
 
     train_samples = parallel_sample_generator(

@@ -51,6 +51,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=5e-5)  # Adam(1e-5*5), train.py:237
     p.add_argument(
+        "--train-schedule",
+        choices=["joint", "alternating"],
+        default=None,
+        help="'joint' (default): fused approximate joint training. "
+        "'alternating': the reference's exact dynamics - RPN update, "
+        "proposals from the just-updated RPN, detector update with a "
+        "second Adam state (train.py:288-402); ~2x the trunk work per "
+        "step, for controlled comparisons. Saved into config.json so "
+        "cont_train resumes with the same schedule",
+    )
+    p.add_argument(
         "--config-json",
         default=None,
         help="path to a Config JSON overriding the defaults entirely",
@@ -147,6 +158,8 @@ def main(argv=None) -> int:
         config.model_path = "faster_rcnn_" + config.network
     if args.batch_size:
         config.batch_size = args.batch_size
+    if args.train_schedule:
+        config.train_schedule = args.train_schedule
 
     # Data.
     data_train, class_count, _ = get_data(args.train_annot, args.train_data, config.img_types)
@@ -186,12 +199,19 @@ def main(argv=None) -> int:
 
     mesh = mesh_from_args(args)
     state, batch_sh = shard_for_mesh(config, state, mesh)
-    train_step = make_train_step(model, config, donate=True)
-    train_bundle = (
-        make_train_bundle(model, config, config.train_bundle_steps, donate=True)
-        if config.train_bundle_steps > 1
-        else None
-    )
+    if config.train_schedule == "alternating":
+        from radnet_tpu.engine.steps import make_alternating_train_step
+
+        train_step = make_alternating_train_step(model, config, donate=True)
+        train_bundle = None  # per-step dispatch; the mode exists for
+        # reference-exact dynamics, not throughput (see engine/steps.py)
+    else:
+        train_step = make_train_step(model, config, donate=True)
+        train_bundle = (
+            make_train_bundle(model, config, config.train_bundle_steps, donate=True)
+            if config.train_bundle_steps > 1
+            else None
+        )
     eval_step = make_eval_step(model, config) if use_val else None
 
     # Pipelines.

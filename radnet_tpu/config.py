@@ -144,6 +144,15 @@ class Config:
     # training trajectory is bit-identical to unbundled steps (same RNG
     # split sequence, same batch order).  1 disables bundling.
     train_bundle_steps: int = 4
+    # Training schedule.  "joint" (default): the Faster R-CNN paper's
+    # approximate joint training - one fused step, one Adam state,
+    # proposals from the pre-update RPN (engine/steps.py:13-21).
+    # "alternating": the reference's exact dynamics (train.py:288-402) -
+    # RPN update first, proposals from the JUST-updated RPN, then a
+    # detector update with a SECOND Adam state.  Still one fused dispatch
+    # here, but two trunk forward/backward passes per step; use it for
+    # controlled comparisons against reference training runs.
+    train_schedule: str = "joint"  # 'joint' | 'alternating'
     max_gt_boxes: int = 64  # GT boxes per tile, padded
     rpn_max_regions: int = 256  # pos+neg anchor budget (utils.py:785)
     # True replicates the reference's 1:1 negative rebalance

@@ -27,6 +27,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from radnet_tpu import losses
 from radnet_tpu.config import Config
@@ -50,33 +51,20 @@ def feature_extent(length: jnp.ndarray, network: str) -> jnp.ndarray:
     return v
 
 
-def compute_losses(
-    model: FasterRCNN,
-    config: Config,
-    params: Any,
-    batch_stats: Any,
-    batch: dict[str, jnp.ndarray],
-    rng: jax.Array,
-    deterministic: bool,
-    anchors: tuple[jnp.ndarray, jnp.ndarray] | None = None,
-    trunk_frozen: bool = False,
-) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    """Forward pass + all four losses for one batch of tiles.
+def _augment_and_preprocess(
+    config: Config, images: jnp.ndarray, rng: jax.Array, deterministic: bool
+) -> jnp.ndarray:
+    """On-device photometric augmentation (training only) + mean-centering.
 
-    ``trunk_frozen``: the ENTIRE trunk is below the trainability cut
-    (``base_net_trainable=False``, the reference's train.py default) - a
-    ``stop_gradient`` on the feature map then removes the whole trunk
-    backward pass from the compiled step (the optimizer mask alone only
-    zeroes the already-computed updates unless XLA happens to DCE them)."""
+    Photometric augmentation runs here on device when configured (the
+    host pipeline then skips its brightness/noise stage): elementwise VPU
+    work on canvases that are already on device.  The eval step passes
+    deterministic=True, matching the reference's augment=False validation
+    generator (utils.py:334).  uint8 canvases are mean-centered on device
+    (pipeline ships raw bytes to quarter the host->device traffic); float
+    batches are pre-centered and pass through."""
     from radnet_tpu.data.pipeline import preprocess_on_device
 
-    variables = {"params": params, "batch_stats": batch_stats}
-    images = batch["image"]
-    # Photometric augmentation runs here on device when configured (the
-    # host pipeline then skips its brightness/noise stage): elementwise VPU
-    # work on canvases that are already on device.  Training only - the
-    # eval step passes deterministic=True, matching the reference's
-    # augment=False validation generator (utils.py:334).
     if (
         not deterministic
         and config.augment_photometric_on_device
@@ -92,27 +80,24 @@ def compute_losses(
             use_brightness=config.use_brightness,
             use_noise=config.use_noise,
         ).astype(jnp.uint8)  # values are floored/rinted into 0..255
-    # uint8 canvases are mean-centered here on device (pipeline ships raw
-    # bytes to quarter the host->device traffic); float inputs pass through.
-    images = preprocess_on_device(images)
-    b = images.shape[0]
-    num_anchors = config.n_anchors
-    scales = tuple(config.anchor_box_scales)
-    ratios = tuple(tuple(r) for r in config.anchor_box_ratios)
-    sample_valid = batch["sample_valid"].astype(jnp.float32)
-    img_anchors, feat_anchors = anchors if anchors is not None else (None, None)
+    return preprocess_on_device(images)
 
-    rng_t, rng_p, rng_d = jax.random.split(rng, 3)
 
-    # ------------------------------------------------------------------ #
-    # RPN targets (device-side calc_region_props; no param dependency).
-    # ------------------------------------------------------------------ #
+def _batch_rpn_targets(
+    config: Config,
+    batch: dict[str, jnp.ndarray],
+    rng_t: jax.Array,
+    img_anchors: jnp.ndarray | None,
+    sample_valid: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """RPN targets (device-side calc_region_props; no param dependency)."""
+    b = sample_valid.shape[0]
     tgt_fn = functools.partial(
         rpn_targets,
         feat_h=config.feat_size,
         feat_w=config.feat_size,
-        scales=scales,
-        ratios=ratios,
+        scales=tuple(config.anchor_box_scales),
+        ratios=tuple(tuple(r) for r in config.anchor_box_ratios),
         stride=config.rpn_stride,
         rpn_min_overlap=config.rpn_min_overlap,
         rpn_max_overlap=config.rpn_max_overlap,
@@ -131,24 +116,21 @@ def compute_losses(
     )
     # Padded samples in partial batches contribute nothing.
     sv = sample_valid[:, None, None, None]
-    y_rpn_cls = tgts.y_rpn_cls * sv
-    y_rpn_regr = tgts.y_rpn_regr * sv
+    return tgts.y_rpn_cls * sv, tgts.y_rpn_regr * sv
 
-    # ------------------------------------------------------------------ #
-    # Shared trunk once; both stages reuse ``fmap``.
-    # ------------------------------------------------------------------ #
-    fmap = model.apply(variables, images, method=FasterRCNN.features)
-    if trunk_frozen:
-        fmap = jax.lax.stop_gradient(fmap)
-    rpn_cls, rpn_regr = model.apply(variables, fmap, method=FasterRCNN.rpn)
 
-    l_rpn_cls = losses.rpn_loss_cls(y_rpn_cls, rpn_cls, num_anchors)
-    l_rpn_regr = losses.rpn_loss_regr(y_rpn_regr, rpn_regr, num_anchors)
-
-    # ------------------------------------------------------------------ #
-    # Proposals (no gradient through the decode, like the reference's
-    # predict_on_batch hop, train.py:291) and second-stage targets.
-    # ------------------------------------------------------------------ #
+def _proposals_and_roi_targets(
+    config: Config,
+    rpn_cls: jnp.ndarray,
+    rpn_regr: jnp.ndarray,
+    batch: dict[str, jnp.ndarray],
+    rng_p: jax.Array,
+    feat_anchors: jnp.ndarray | None,
+    sample_valid: jnp.ndarray,
+):
+    """Proposals (no gradient through the decode, like the reference's
+    predict_on_batch hop, train.py:291) and second-stage targets."""
+    b = sample_valid.shape[0]
     valid_fw = feature_extent(batch["valid_wh"][:, 0], config.network)
     valid_fh = feature_extent(batch["valid_wh"][:, 1], config.network)
     props = batched_decode_proposals(
@@ -156,8 +138,8 @@ def compute_losses(
         jax.lax.stop_gradient(rpn_regr),
         valid_fw,
         valid_fh,
-        scales=scales,
-        ratios=ratios,
+        scales=tuple(config.anchor_box_scales),
+        ratios=tuple(tuple(r) for r in config.anchor_box_ratios),
         stride=config.rpn_stride,
         std_scaling=config.std_scaling,
         pre_nms_top_n=config.pre_nms_top_n,
@@ -184,6 +166,53 @@ def compute_losses(
         jax.random.split(rng_p, b),
     )
     roi_mask = pt.roi_valid.astype(jnp.float32) * sample_valid[:, None]
+    return pt, roi_mask
+
+
+def compute_losses(
+    model: FasterRCNN,
+    config: Config,
+    params: Any,
+    batch_stats: Any,
+    batch: dict[str, jnp.ndarray],
+    rng: jax.Array,
+    deterministic: bool,
+    anchors: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    trunk_frozen: bool = False,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """Forward pass + all four losses for one batch of tiles.
+
+    ``trunk_frozen``: the ENTIRE trunk is below the trainability cut
+    (``base_net_trainable=False``, the reference's train.py default) - a
+    ``stop_gradient`` on the feature map then removes the whole trunk
+    backward pass from the compiled step (the optimizer mask alone only
+    zeroes the already-computed updates unless XLA happens to DCE them)."""
+    images = _augment_and_preprocess(config, batch["image"], rng, deterministic)
+    variables = {"params": params, "batch_stats": batch_stats}
+    num_anchors = config.n_anchors
+    sample_valid = batch["sample_valid"].astype(jnp.float32)
+    img_anchors, feat_anchors = anchors if anchors is not None else (None, None)
+
+    rng_t, rng_p, rng_d = jax.random.split(rng, 3)
+
+    y_rpn_cls, y_rpn_regr = _batch_rpn_targets(
+        config, batch, rng_t, img_anchors, sample_valid
+    )
+
+    # ------------------------------------------------------------------ #
+    # Shared trunk once; both stages reuse ``fmap``.
+    # ------------------------------------------------------------------ #
+    fmap = model.apply(variables, images, method=FasterRCNN.features)
+    if trunk_frozen:
+        fmap = jax.lax.stop_gradient(fmap)
+    rpn_cls, rpn_regr = model.apply(variables, fmap, method=FasterRCNN.rpn)
+
+    l_rpn_cls = losses.rpn_loss_cls(y_rpn_cls, rpn_cls, num_anchors)
+    l_rpn_regr = losses.rpn_loss_regr(y_rpn_regr, rpn_regr, num_anchors)
+
+    pt, roi_mask = _proposals_and_roi_targets(
+        config, rpn_cls, rpn_regr, batch, rng_p, feat_anchors, sample_valid
+    )
 
     det_cls, det_regr = model.apply(
         variables,
@@ -277,6 +306,135 @@ def make_train_step(
     fn._jitted = train_step
     fn._anchors = anchors
     fn._donates = donate  # engine/loop.py snapshots before async saves
+    return fn
+
+
+def make_alternating_train_step(
+    model: FasterRCNN,
+    config: Config,
+    trunk_trainable: bool | None = None,
+    donate: bool = False,
+) -> Callable:
+    """The reference's EXACT alternating schedule as one fused program.
+
+    Reproduces /root/reference/train.py:288-402 for controlled comparisons:
+
+      1. RPN update: rpn losses -> grads -> Adam #1 on (trunk + rpn)
+         (``model_rpn.train_on_batch``, train.py:288);
+      2. proposals from the JUST-UPDATED params
+         (``model_rpn.predict_on_batch``, train.py:291) -> rpn_to_roi ->
+         calc_iou -> balanced RoI sampling;
+      3. detector update: detector losses -> grads -> Adam #2 on
+         (trunk + head) (``model_classifier.train_on_batch``, train.py:393).
+
+    The state must come from ``create_train_state(..,
+    schedule="alternating")``: ``state.tx == (tx_rpn, tx_det)`` and
+    ``state.opt_state == {"rpn": .., "det": ..}``.  Where the reference
+    pays 4 host<->device hops and 3 backbone passes per image, this is
+    still ONE dispatch - but two trunk forward(+backward) passes per step
+    vs the joint step's one, so expect roughly half the joint steps/s
+    with a trainable trunk (measured number in BASELINE.md).
+    """
+    if trunk_trainable is None:
+        trunk_trainable = config.base_net_trainable
+    anchors = _device_anchors(config)
+    num_anchors = config.n_anchors
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch, rng, anchors):
+        tx_rpn, tx_det = state.tx
+        img_anchors, feat_anchors = anchors
+        images = _augment_and_preprocess(config, batch["image"], rng, False)
+        sample_valid = batch["sample_valid"].astype(jnp.float32)
+        # Same split discipline as compute_losses: one target rng, one
+        # proposal-sampling rng, one dropout rng per step.
+        rng_t, rng_p, rng_d = jax.random.split(rng, 3)
+
+        y_rpn_cls, y_rpn_regr = _batch_rpn_targets(
+            config, batch, rng_t, img_anchors, sample_valid
+        )
+
+        # ---------------- phase 1: RPN update (train.py:288) ------------ #
+        def rpn_loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            fmap = model.apply(variables, images, method=FasterRCNN.features)
+            if not trunk_trainable:
+                fmap = jax.lax.stop_gradient(fmap)
+            rpn_cls, rpn_regr = model.apply(variables, fmap, method=FasterRCNN.rpn)
+            l_cls = losses.rpn_loss_cls(y_rpn_cls, rpn_cls, num_anchors)
+            l_regr = losses.rpn_loss_regr(y_rpn_regr, rpn_regr, num_anchors)
+            return l_cls + l_regr, (l_cls, l_regr)
+
+        (_, (l_rpn_cls, l_rpn_regr)), rpn_grads = jax.value_and_grad(
+            rpn_loss_fn, has_aux=True
+        )(state.params)
+        rpn_updates, new_rpn_opt = tx_rpn.update(
+            rpn_grads, state.opt_state["rpn"], state.params
+        )
+        params1 = optax.apply_updates(state.params, rpn_updates)
+
+        # ------ phase 2: proposals from the UPDATED RPN (train.py:291) -- #
+        variables1 = {"params": params1, "batch_stats": state.batch_stats}
+        fmap1 = model.apply(variables1, images, method=FasterRCNN.features)
+        rpn_cls1, rpn_regr1 = model.apply(variables1, fmap1, method=FasterRCNN.rpn)
+        pt, roi_mask = _proposals_and_roi_targets(
+            config, rpn_cls1, rpn_regr1, batch, rng_p, feat_anchors, sample_valid
+        )
+
+        # ------------ phase 3: detector update (train.py:393) ----------- #
+        def det_loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            fmap = model.apply(variables, images, method=FasterRCNN.features)
+            if not trunk_trainable:
+                fmap = jax.lax.stop_gradient(fmap)
+            det_cls, det_regr = model.apply(
+                variables,
+                fmap,
+                pt.rois,
+                method=FasterRCNN.roi_heads,
+                deterministic=False,
+                rngs={"dropout": rng_d},
+            )
+            l_cls = losses.class_loss_cls(pt.y_class, det_cls, roi_mask)
+            l_regr = losses.class_loss_regr(
+                pt.y_regr, det_regr, config.n_classes - 1, roi_mask
+            )
+            acc = losses.detector_accuracy(pt.y_class, det_cls, roi_mask)
+            return l_cls + l_regr, (l_cls, l_regr, acc)
+
+        (_, (l_det_cls, l_det_regr, acc)), det_grads = jax.value_and_grad(
+            det_loss_fn, has_aux=True
+        )(params1)
+        det_updates, new_det_opt = tx_det.update(
+            det_grads, state.opt_state["det"], params1
+        )
+        params2 = optax.apply_updates(params1, det_updates)
+
+        n_valid = jnp.maximum(jnp.sum(sample_valid), 1.0)
+        total = l_rpn_cls + l_rpn_regr + l_det_cls + l_det_regr
+        metrics = {
+            "loss_rpn_cls": l_rpn_cls,
+            "loss_rpn_regr": l_rpn_regr,
+            "loss_detector_cls": l_det_cls,
+            "loss_detector_regr": l_det_regr,
+            "total_loss": total,
+            "detector_acc": acc,
+            "mean_overlapping_bboxes": jnp.sum(
+                pt.n_pos.astype(jnp.float32) * sample_valid
+            )
+            / n_valid,
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params2,
+            opt_state={"rpn": new_rpn_opt, "det": new_det_opt},
+        )
+        return new_state, metrics
+
+    fn = lambda state, batch, rng: train_step(state, batch, rng, anchors)
+    fn._jitted = train_step
+    fn._anchors = anchors
+    fn._donates = donate
     return fn
 
 

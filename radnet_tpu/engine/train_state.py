@@ -37,7 +37,9 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
-    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # One GradientTransformation (joint schedule) or the static pair
+    # (tx_rpn, tx_det) for the alternating schedule.
+    tx: Any = struct.field(pytree_node=False)
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -75,16 +77,60 @@ def make_optimizer(
     )
 
 
+def make_phase_optimizer(
+    params: Any,
+    config: Config,
+    learning_rate: float,
+    base_net_trainable: bool,
+    phase: str,
+) -> optax.GradientTransformation:
+    """Optimizer for one phase of the alternating schedule.
+
+    The reference's two ``train_on_batch`` models each own a param subset
+    (/root/reference/train.py:209-252): ``model_rpn`` = trunk + RPN heads,
+    ``model_classifier`` = trunk + detector head, each compiled with its
+    OWN Adam.  The phase optimizer masks the other stage's head to zero so
+    its Adam moments exist only for the params that phase owns."""
+    assert phase in ("rpn", "det"), phase
+    base = trainability_labels(params, config.network, base_net_trainable)
+
+    def relabel(path: tuple, label: str) -> str:
+        keys = [p.key for p in path if hasattr(p, "key")]
+        top = keys[0] if keys else ""
+        if phase == "rpn" and top == "head":
+            return "frozen"
+        if phase == "det" and top == "rpn":
+            return "frozen"
+        return label
+
+    labels = jax.tree_util.tree_map_with_path(relabel, base)
+    return optax.multi_transform(
+        {"train": optax.adam(learning_rate), "frozen": optax.set_to_zero()},
+        labels,
+    )
+
+
 def create_train_state(
     model: FasterRCNN,
     config: Config,
     rng: jax.Array,
     learning_rate: float = 5e-5,
     base_net_trainable: bool | None = None,
+    schedule: str | None = None,
 ) -> TrainState:
-    """Initialize parameters and optimizer state."""
+    """Initialize parameters and optimizer state.
+
+    ``schedule`` (default ``config.train_schedule``): for "alternating",
+    ``tx`` is the pair ``(tx_rpn, tx_det)`` and ``opt_state`` the dict
+    ``{"rpn": ..., "det": ...}`` - two independent Adam states, exactly
+    like the reference's two compiled models (train.py:236-252).  The
+    TrainState pytree structure is otherwise identical, so checkpointing,
+    sharding and the training loop are schedule-agnostic; only the step
+    functions differ (engine/steps.py)."""
     if base_net_trainable is None:
         base_net_trainable = config.base_net_trainable
+    if schedule is None:
+        schedule = getattr(config, "train_schedule", "joint")
     s = config.canvas_size
 
     # One jitted program for the whole init: eager init would dispatch
@@ -105,8 +151,21 @@ def create_train_state(
     variables = init_variables(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(params, config, learning_rate, base_net_trainable)
-    opt_state = jax.jit(tx.init)(params)
+    if schedule == "alternating":
+        tx_rpn = make_phase_optimizer(
+            params, config, learning_rate, base_net_trainable, "rpn"
+        )
+        tx_det = make_phase_optimizer(
+            params, config, learning_rate, base_net_trainable, "det"
+        )
+        tx = (tx_rpn, tx_det)
+        opt_state = {
+            "rpn": jax.jit(tx_rpn.init)(params),
+            "det": jax.jit(tx_det.init)(params),
+        }
+    else:
+        tx = make_optimizer(params, config, learning_rate, base_net_trainable)
+        opt_state = jax.jit(tx.init)(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
