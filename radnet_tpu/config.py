@@ -192,6 +192,17 @@ class Config:
     # host->device link, is the bottleneck).  Ignored when img_size >=
     # tile_size (prescale would upscale).
     infer_panel_prescale: bool = True
+    # Non-square inference windows (the include_full_img pseudo-tile,
+    # sub-tile panels) use the reference's SHORTEST-side-to-img_size
+    # resize (get_new_img_size, utils.py:65-75) onto a rectangular canvas
+    # bucket of up to infer_canvas_max_mult x canvas_size on the long
+    # side (one cached compile per bucket).  Aspect ratios beyond the cap
+    # reduce the scale to fit the largest bucket.  False: legacy
+    # longest-side-to-img_size square-canvas behavior (lower resolution
+    # for non-square windows).  Square windows - every window of the
+    # uniform tiling - are identical under both rules.
+    infer_shortest_side: bool = True
+    infer_canvas_max_mult: int = 4
     compute_dtype: str = "bfloat16"  # backbone compute dtype on TPU
     # Serving-throughput knob with no reference counterpart: run the RoI
     # head's convs/dense layers in dynamic int8 (per-out-channel weight

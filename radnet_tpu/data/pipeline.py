@@ -94,6 +94,50 @@ def resize_to_canvas(
     return canvas, scale, new_w, new_h
 
 
+def shortest_side_dims(w: int, h: int, img_size: int) -> tuple[int, int]:
+    """The reference's resize rule: SHORTEST side to ``img_size``, other
+    side scaled by the same factor and **truncated** to int - exact mirror
+    of ``get_new_img_size`` (/root/reference/faster_rcnn/utils.py:65-75).
+    For square inputs this equals :func:`longest_side_dims`."""
+    if w <= h:
+        f = float(img_size) / w
+        return img_size, int(f * h)
+    f = float(img_size) / h
+    return int(f * w), img_size
+
+
+def resize_to_canvas_shortest(
+    img: np.ndarray, img_size: int, canvas_hw: tuple[int, int]
+) -> tuple[np.ndarray, float, int, int]:
+    """Shortest-side-to-``img_size`` resize onto a rectangular canvas.
+
+    The reference feeds the resized (possibly much wider/taller than
+    ``img_size``) image directly to its dynamic-shape graph; here it lands
+    on a fixed ``canvas_hw`` bucket (zero-padded bottom/right) so XLA
+    compiles one program per bucket.  If the resized dims exceed the
+    bucket (aspect beyond the configured cap), the scale is reduced to
+    fit - the shortest side then resolves below ``img_size``, which is
+    still at least the longest-side-fit resolution.
+
+    Returns (canvas, scale, valid_w, valid_h) with a SINGLE uniform scale
+    like the reference's ``ratio`` (RADNet.py:53-74)."""
+    h, w = img.shape[:2]
+    new_w, new_h = shortest_side_dims(w, h, img_size)
+    ch, cw = canvas_hw
+    scale = float(img_size) / min(h, w)
+    if new_w > cw or new_h > ch:
+        g = min(cw / new_w, ch / new_h)
+        new_w, new_h = max(1, int(new_w * g)), max(1, int(new_h * g))
+        scale = new_w / w if w <= h else new_h / h  # short-side ratio
+    if (new_w, new_h) == (w, h):
+        resized = img
+    else:
+        resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
+    canvas = np.zeros((ch, cw, 3), dtype=resized.dtype)
+    canvas[:new_h, :new_w] = resized
+    return canvas, scale, new_w, new_h
+
+
 def prescale_for_augment(
     img: np.ndarray,
     meta: dict[str, Any],

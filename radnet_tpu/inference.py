@@ -103,15 +103,94 @@ class RADNet:
             self._feat_anchors = jax.device_put(anchors_np, replicated(mesh))
         else:
             self._feat_anchors = jax.device_put(anchors_np)
+        # Per-canvas-bucket anchor grids for non-square windows (the
+        # shortest-side path); keyed by (canvas_h, canvas_w).
+        self._anchor_cache: dict[tuple[int, int], Any] = {}
         self._predict_tiles_jit = jax.jit(self._predict_tiles_impl)
 
-    def _predict_tiles(self, images, valid_wh):
+    def _predict_tiles(self, images, valid_wh, feat_anchors=None):
         if self._batch_sharding is not None:
             images = jax.device_put(images, self._batch_sharding)
             valid_wh = jax.device_put(valid_wh, self._batch_sharding)
         return self._predict_tiles_jit(
-            self.variables, images, valid_wh, self._feat_anchors
+            self.variables,
+            images,
+            valid_wh,
+            self._feat_anchors if feat_anchors is None else feat_anchors,
         )
+
+    # ------------------------------------------------------------------ #
+    # Shortest-side resize support: rectangular canvas buckets for
+    # non-square windows (see Config.infer_shortest_side).
+    # ------------------------------------------------------------------ #
+    def _canvas_for_window(self, w: int, h: int) -> tuple[int, int]:
+        """Canvas bucket (H, W) for a ``w x h`` window under the
+        shortest-side rule; square windows use the standard canvas."""
+        cfg = self.C
+        cs = cfg.canvas_size
+        if w == h or not cfg.infer_shortest_side:
+            return (cs, cs)
+        from radnet_tpu.data.pipeline import shortest_side_dims
+
+        nw, nh = shortest_side_dims(w, h, cfg.img_size)
+        mult_w = max(1, min(cfg.infer_canvas_max_mult, -(-nw // cs)))
+        mult_h = max(1, min(cfg.infer_canvas_max_mult, -(-nh // cs)))
+        return (cs * mult_h, cs * mult_w)
+
+    def _anchors_for_canvas(self, canvas_hw: tuple[int, int]):
+        cfg = self.C
+        if canvas_hw == (cfg.canvas_size, cfg.canvas_size):
+            return self._feat_anchors
+        a = self._anchor_cache.get(canvas_hw)
+        if a is None:
+            from radnet_tpu.config import backbone_feat_size
+            from radnet_tpu.ops.anchors import feature_anchors_xywh
+
+            grid = feature_anchors_xywh(
+                backbone_feat_size(cfg.network, canvas_hw[0]),
+                backbone_feat_size(cfg.network, canvas_hw[1]),
+                tuple(cfg.anchor_box_scales),
+                tuple(tuple(r) for r in cfg.anchor_box_ratios),
+                cfg.rpn_stride,
+            )
+            if self.mesh is not None:
+                from radnet_tpu.parallel.mesh import replicated
+
+                a = jax.device_put(grid, replicated(self.mesh))
+            else:
+                a = jax.device_put(grid)
+            self._anchor_cache[canvas_hw] = a
+        return a
+
+    def _rect_window_batches(self, img: np.ndarray, tiles: np.ndarray, canvas_hw):
+        """Like :meth:`_tile_batches` but with the reference's
+        shortest-side resize onto a rectangular canvas bucket.  Batches pad
+        only to the data-axis multiple (these windows are rare - one
+        full-image pseudo-tile per panel, or a handful of sub-tile-panel
+        windows - so dead-tile padding, not program reuse, dominates)."""
+        from radnet_tpu.data.pipeline import resize_to_canvas_shortest
+
+        cfg = self.C
+        ch, cw = canvas_hw
+        n_all = len(tiles)
+        pos = 0
+        while pos < n_all:
+            n = min(self.tile_batch, n_all - pos)
+            bs = -(-n // self._dp) * self._dp
+            chunk = tiles[pos : pos + n]
+            imgs = np.zeros((bs, ch, cw, 3), np.uint8)
+            wh = np.full((bs, 2), float(cfg.img_size), np.float32)
+            scales = np.ones((bs,), np.float64)
+            for i, tile in enumerate(chunk):
+                tile_img = img[tile[1] : tile[3], tile[0] : tile[2], :]
+                canvas, scale, vw, vh = resize_to_canvas_shortest(
+                    tile_img, cfg.img_size, canvas_hw
+                )
+                imgs[i] = canvas
+                wh[i] = (vw, vh)
+                scales[i] = scale
+            yield imgs, wh, scales, chunk, n
+            pos += n
 
     # ------------------------------------------------------------------ #
     # Device-side tiling: the panel ships to HBM once; each call slices a
@@ -592,6 +671,30 @@ class RADNet:
                     self.variables, panel_dev, origins_dev, self._feat_anchors
                 )
                 pending.append((out, np.full(bs, ratio), chunk, len(chunk)))
+        elif cfg.infer_shortest_side and len(tiles) > 0 and not bool(
+            ((tiles[:, 2] - tiles[:, 0]) == (tiles[:, 3] - tiles[:, 1])).all()
+        ):
+            # Non-square windows (the include_full_img pseudo-tile,
+            # sub-tile panels): the reference resizes the SHORTEST side to
+            # img_size (get_new_img_size, utils.py:65-75).  Group windows
+            # by canvas bucket; each bucket is one cached compiled program
+            # with its own anchor grid.
+            order = [
+                self._canvas_for_window(int(t[2] - t[0]), int(t[3] - t[1]))
+                for t in tiles
+            ]
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, key in enumerate(order):
+                groups.setdefault(key, []).append(i)
+            for canvas_hw, idx in groups.items():
+                anchors = self._anchors_for_canvas(canvas_hw)
+                for imgs, wh, scales, chunk, n in self._rect_window_batches(
+                    img, tiles[np.asarray(idx)], canvas_hw
+                ):
+                    out = self._predict_tiles(
+                        jnp.asarray(imgs), jnp.asarray(wh), anchors
+                    )
+                    pending.append((out, scales, chunk, n))
         else:
             for imgs, wh, scales, chunk, n in self._tile_batches(img, tiles):
                 out = self._predict_tiles(jnp.asarray(imgs), jnp.asarray(wh))
