@@ -82,7 +82,8 @@ class RADNet:
                     f"by data-parallel size {dp}; using {self.tile_batch}"
                 )
             self.variables = jax.device_put(
-                self.variables, make_param_shardings(self.variables, mesh)
+                self.variables,
+                make_param_shardings(self.variables, mesh, warn_label="serving"),
             )
             self._batch_sharding = batch_sharding(mesh)
         # Anchors + params enter the jitted program as arguments, never as

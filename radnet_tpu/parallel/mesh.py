@@ -74,22 +74,59 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 # Param-path suffixes -> PartitionSpec for the tensor-parallel head.
+#
+# VGG16 head (vgg16.py:96-100): the classic Megatron MLP split - fc1
+# column-parallel, fc2 row-parallel, one all-reduce per head application.
+#
+# ResNet50 head (resnet50.py:231-280): the stage-5 bottlenecks carry the
+# head's FLOPs and params (3x ~4.5M-param blocks on 2048-ch activations).
+# Megatron-style split per block, one all-reduce each:
+#   * conv2a (1x1, C_in->512)  row-parallel  - input channels sharded,
+#     partial sums reduced by the XLA-inserted all-reduce;
+#   * conv2b (3x3, 512->512)   replicated    - runs on the full 512;
+#   * conv2c (1x1, 512->2048)  column-parallel - output channels (and
+#     bias) sharded, so the block's 2048-ch OUTPUT activation is sharded
+#     and feeds the next block's row-parallel conv2a directly.
+#   * s5a's projection shortcut conv_sc is column-parallel to match the
+#     sharded residual sum.
+# The final dense_class/dense_regress read the pooled sharded 2048-vector
+# row-parallel (input-dim sharded; their outputs are tiny and replicated).
 _TP_RULES: list[tuple[tuple[str, ...], P]] = [
     (("head", "fc1", "kernel"), P(None, MODEL_AXIS)),  # column parallel
     (("head", "fc1", "bias"), P(MODEL_AXIS)),
     (("head", "fc2", "kernel"), P(MODEL_AXIS, None)),  # row parallel
+    # ResNet50 stage-5 head. Block names are unique to the head (trunk
+    # blocks are s2*-s4*), so suffix matching cannot touch trunk convs.
+    (("head", "dense_class", "kernel"), P(MODEL_AXIS, None)),
+    (("head", "dense_regress", "kernel"), P(MODEL_AXIS, None)),
+    (("s5a", "conv_sc", "kernel"), P(None, None, None, MODEL_AXIS)),
+    (("s5a", "conv_sc", "bias"), P(MODEL_AXIS)),
 ]
+for _blk in ("s5a", "s5b", "s5c"):
+    _TP_RULES += [
+        ((_blk, "conv2a", "kernel"), P(None, None, MODEL_AXIS, None)),
+        ((_blk, "conv2c", "kernel"), P(None, None, None, MODEL_AXIS)),
+        ((_blk, "conv2c", "bias"), P(MODEL_AXIS)),
+    ]
 
 
-def make_param_shardings(params: Any, mesh: Mesh) -> Any:
+def make_param_shardings(params: Any, mesh: Mesh, *, warn_label: str | None = None) -> Any:
     """NamedSharding tree: TP rules for the head, replication elsewhere.
 
     Rule paths match as a SUFFIX of the leaf's dict-key path, so the same
     rules place both params (``head/fc1/kernel``) and optimizer moments
     that mirror them (``…/mu/head/fc1/kernel`` inside the optax state).
+
+    ``warn_label``: when set and the mesh has a model axis > 1 but ZERO
+    leaves matched a TP rule, print a warning - a --model-parallel request
+    that silently replicates everything is a no-op the user should know
+    about.
     """
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_sharded = 0
 
     def spec_for(path: tuple, leaf) -> NamedSharding:
+        nonlocal n_sharded
         keys = tuple(p.key for p in path if hasattr(p, "key"))
         shape = getattr(leaf, "shape", None)
         if shape is not None:
@@ -97,16 +134,26 @@ def make_param_shardings(params: Any, mesh: Mesh) -> Any:
                 if keys[-len(rule_path):] == rule_path and len(shape) == len(spec):
                     # Only shard if divisible; tiny test models fall back to
                     # replication rather than failing.
-                    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
                     dims_ok = all(
                         s is None or shape[i] % axis_sizes[s] == 0
                         for i, s in enumerate(spec)
                     )
                     if dims_ok:
+                        n_sharded += 1
                         return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    tree = jax.tree_util.tree_map_with_path(spec_for, params)
+    if warn_label and axis_sizes.get(MODEL_AXIS, 1) > 1 and n_sharded == 0:
+        print(
+            f"WARNING: model axis is {axis_sizes[MODEL_AXIS]} but 0 "
+            f"{warn_label} parameters matched a tensor-parallel rule - "
+            "--model-parallel is a no-op for this network (everything is "
+            "replicated). TP rules cover the vgg16 fc head and the "
+            "resnet50 stage-5 head; tiny test-size layers whose dims "
+            "don't divide the model axis also fall back to replication."
+        )
+    return tree
 
 
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
@@ -120,7 +167,7 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     params would at best cost a replicate<->shard reshard per step and at
     worst keep full-size moments on every chip.
     """
-    param_sh = make_param_shardings(state.params, mesh)
+    param_sh = make_param_shardings(state.params, mesh, warn_label="model")
     opt_sh = make_param_shardings(state.opt_state, mesh)
     rep = replicated(mesh)
     return state.replace(
