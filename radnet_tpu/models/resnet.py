@@ -31,6 +31,45 @@ FEATURE_CHANNELS = 1024
 POOL_SIZE = 14  # resnet50.py:249
 
 
+class Conv1x1(nn.Module):
+    """1x1 convolution computed as a 2D matmul.
+
+    XLA's TPU conv lowering keeps the NHWC activation in its spatial
+    (sublane=H-row, lane=channel) tiling, which pads 38-row feature maps
+    to 48 sublanes in bf16 (26% dead lanes) and schedules the pointwise
+    conv as a windowed op.  Reshaping to ``(B*H*W, C)`` and using a plain
+    ``dot`` lets XLA pick a dense 2D layout: the 6-block stage-4 chain
+    measures 2.01 ms vs 3.43 ms as convs (scripts/probe_stage4.py, batch
+    8 @38^2 on v5e).  The param is stored in ``nn.Conv``'s ``(1, 1, Cin,
+    Cout)`` layout so checkpoints, weight ports (models/weights.py) and
+    the TP sharding rules (parallel/mesh.py) are unchanged.
+
+    Stride-1 only: the strided variant (slice ``x[:, ::2, ::2]`` + dot)
+    crash-faulted the tunneled v5e worker at batch 8 (repeatable kernel
+    fault, 2026-08-20); strided 1x1 convs stay on ``nn.Conv``."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        b, h, w, c = x.shape
+        y = jnp.dot(
+            x.reshape(-1, c).astype(self.dtype),
+            kernel.reshape(c, self.features).astype(self.dtype),
+        )
+        return y.reshape(b, h, w, self.features) + bias.astype(self.dtype)
+
+
 class Bottleneck(nn.Module):
     """Bottleneck residual block (identity_block / conv_block,
     resnet50.py:41-117)."""
@@ -49,6 +88,8 @@ class Bottleneck(nn.Module):
                 features=features, kernel_size=ksize, strides=strides,
                 padding=padding, dtype=self.dtype, name=name,
             )
+        if ksize == (1, 1) and strides == (1, 1):
+            return Conv1x1(features=features, dtype=self.dtype, name=name)
         return nn.Conv(
             features, ksize, strides=strides, padding=padding, name=name,
             dtype=self.dtype, param_dtype=jnp.float32,
@@ -147,9 +188,14 @@ class StemConv(nn.Module):
 
 
 class ResNet50Trunk(nn.Module):
-    """Stages 1-4; input NHWC image, output stride-16 1024-ch feature map."""
+    """Stages 1-4; input NHWC image, output stride-16 1024-ch feature map.
+
+    ``up_to``: truncation point for stage-level profiling
+    (scripts/ablate_trunk.py) - one of "stem", "s2", "s3"; default runs
+    all four stages.  Production code never sets it."""
 
     dtype: Any = jnp.float32
+    up_to: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -159,16 +205,22 @@ class ResNet50Trunk(nn.Module):
         x = FrozenBatchNorm(dtype=self.dtype, name="bn_conv1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        if self.up_to == "stem":
+            return x
 
         # stage 2 (resnet50.py:190-192)
         x = Bottleneck((64, 64, 256), stride=1, project=True, dtype=self.dtype, name="s2a")(x)
         x = Bottleneck((64, 64, 256), dtype=self.dtype, name="s2b")(x)
         x = Bottleneck((64, 64, 256), dtype=self.dtype, name="s2c")(x)
+        if self.up_to == "s2":
+            return x
         # stage 3 (resnet50.py:194-197)
         x = Bottleneck((128, 128, 512), stride=2, project=True, dtype=self.dtype, name="s3a")(x)
         x = Bottleneck((128, 128, 512), dtype=self.dtype, name="s3b")(x)
         x = Bottleneck((128, 128, 512), dtype=self.dtype, name="s3c")(x)
         x = Bottleneck((128, 128, 512), dtype=self.dtype, name="s3d")(x)
+        if self.up_to == "s3":
+            return x
         # stage 4 (resnet50.py:199-204)
         x = Bottleneck((256, 256, 1024), stride=2, project=True, dtype=self.dtype, name="s4a")(x)
         for blk in "bcdef":
