@@ -175,7 +175,12 @@ class Config:
     # head).  Bit-identical to the full cascade when a tile has <= K
     # surviving proposals.  None = reference parity (all post_nms_top_n).
     max_head_rois: int | None = None
-    infer_tile_batch: int = 8  # tiles per compiled inference call
+    # Tiles per compiled inference call.  12 is the measured panel-
+    # throughput optimum on v5e (sweep_tile_batch.py, 4000^2 36-tile
+    # panels: device ms/tile falls monotonically to batch 36, but panel
+    # throughput peaks where per-batch device time still overlaps the
+    # next batch's host prep - 12 won both round-4 sweeps).
+    infer_tile_batch: int = 12
     # Dispatch a panel's remainder tiles through a half-size compiled
     # program when they fit (e.g. 36 tiles = 4x8 + 1x4): the tail batch
     # otherwise pads with dead tiles, ~10% of panel device time at the

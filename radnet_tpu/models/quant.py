@@ -87,7 +87,13 @@ def int8_dense(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
 class QuantConv(nn.Module):
     """Drop-in for the ``nn.Conv`` configs used by the detector heads
-    (NHWC, HWIO kernel, bias, lecun-normal init) computing in int8."""
+    (NHWC, HWIO kernel, bias, lecun-normal init) computing in int8.
+
+    Stride-1 1x1 convs take the 2D-matmul path (same layout win as the
+    float ``models/resnet.py::Conv1x1``: XLA's windowed lowering pads the
+    spatial sublane dim and schedules pointwise convs poorly) with
+    per-PIXEL activation scales - finer than the conv path's per-sample
+    scale, so quantization error can only shrink."""
 
     features: int
     kernel_size: tuple[int, int]
@@ -107,6 +113,10 @@ class QuantConv(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
         )
+        if (kh, kw) == (1, 1) and self.strides == (1, 1):
+            b, h, w, c = x.shape
+            y = int8_dense(x.reshape(-1, c), kernel.reshape(c, self.features))
+            return y.reshape(b, h, w, self.features) + bias
         y = int8_conv(x, kernel, self.strides, self.padding)
         return y + bias
 
