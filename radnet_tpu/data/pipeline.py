@@ -126,9 +126,19 @@ def resize_to_canvas_shortest(
     ch, cw = canvas_hw
     scale = float(img_size) / min(h, w)
     if new_w > cw or new_h > ch:
+        # Reduce the SHORT side by the fit factor, then derive the long
+        # side from the one uniform ratio actually returned: truncating
+        # both dims independently drifts the long axis by a few pixels
+        # when boxes are reverse-mapped with the single scale.
         g = min(cw / new_w, ch / new_h)
-        new_w, new_h = max(1, int(new_w * g)), max(1, int(new_h * g))
-        scale = new_w / w if w <= h else new_h / h  # short-side ratio
+        if w <= h:
+            new_w = max(1, int(new_w * g))
+            scale = new_w / w
+            new_h = min(ch, max(1, int(h * scale)))
+        else:
+            new_h = max(1, int(new_h * g))
+            scale = new_h / h
+            new_w = min(cw, max(1, int(w * scale)))
     if (new_w, new_h) == (w, h):
         resized = img
     else:
@@ -692,11 +702,47 @@ def prefetch_to_device(
     size: int = 2,
     sharding=None,
     prepare=None,
+    synchronous: bool | None = None,
 ) -> Iterator[Any]:
     """Background-thread prefetch of host batches onto the device (or a
     sharded layout when ``sharding`` is given).  ``prepare``: optional
     device-side finisher (see :func:`make_device_preparer`) dispatched
-    from the producer thread so it overlaps the consumer's compute."""
+    from the producer thread so it overlaps the consumer's compute.
+
+    ``synchronous`` (default: auto = True on the CPU backend) disables
+    the producer thread and runs the same pipeline inline.  The virtual
+    multi-device CPU platform backs all devices with ONE task pool; a
+    preparer program dispatched from this thread while the consumer's
+    sharded train step executes interleaves two programs' per-device
+    tasks on that pool, and the collective rendezvous then deadlocks
+    (every pool thread blocked waiting for a participant whose task is
+    queued behind them - observed on a 1-core host 2026-08-20, all 8
+    pool threads in futex_wait forever).  On real TPU backends programs
+    execute on device and the overlap is the point, so threading stays.
+    """
+    if synchronous is None:
+        try:
+            if sharding is not None:
+                platform = next(iter(sharding.device_set)).platform
+            else:
+                platform = jax.default_backend()
+        except Exception:
+            platform = jax.default_backend()
+        synchronous = platform == "cpu"
+    def _inline():
+        for batch in batch_iter:
+            if sharding is not None:
+                b = jax.device_put(batch, sharding)
+            else:
+                b = jax.device_put(batch)
+            yield prepare(b) if prepare is not None else b
+
+    if synchronous:
+        return _inline()
+    return _threaded_prefetch(batch_iter, size, sharding, prepare)
+
+
+def _threaded_prefetch(batch_iter, size, sharding, prepare) -> Iterator[Any]:
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
     error: list[BaseException] = []

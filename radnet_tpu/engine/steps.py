@@ -408,6 +408,22 @@ def make_alternating_train_step(
         det_updates, new_det_opt = tx_det.update(
             det_grads, state.opt_state["det"], params1
         )
+        # Reference parity (train.py:389-402): when calc_iou finds NO
+        # matching boxes the reference skips the detector train_on_batch
+        # entirely.  An Adam step on all-zero grads still moves params
+        # (moment decay), so gate BOTH the update and the Adam-state
+        # advance on at least one valid RoI in the batch.
+        has_valid = jnp.sum(roi_mask) > 0
+
+        def _gate(new, old):
+            return jnp.where(has_valid, new, old) if hasattr(new, "dtype") else new
+
+        det_updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(has_valid, u, jnp.zeros_like(u)), det_updates
+        )
+        new_det_opt = jax.tree_util.tree_map(
+            _gate, new_det_opt, state.opt_state["det"]
+        )
         params2 = optax.apply_updates(params1, det_updates)
 
         n_valid = jnp.maximum(jnp.sum(sample_valid), 1.0)

@@ -89,11 +89,15 @@ class QuantConv(nn.Module):
     """Drop-in for the ``nn.Conv`` configs used by the detector heads
     (NHWC, HWIO kernel, bias, lecun-normal init) computing in int8.
 
-    Stride-1 1x1 convs take the 2D-matmul path (same layout win as the
-    float ``models/resnet.py::Conv1x1``: XLA's windowed lowering pads the
-    spatial sublane dim and schedules pointwise convs poorly) with
-    per-PIXEL activation scales - finer than the conv path's per-sample
-    scale, so quantization error can only shrink."""
+    All kernel sizes go through :func:`int8_conv` - including stride-1
+    1x1s.  A round-4 experiment routed those through a per-pixel-scaled
+    (B*H*W, C) int8 matmul (mirroring the float ``Conv1x1`` layout win)
+    and REGRESSED: at the production head shape (3600 RoIs @7x7x1024) the
+    dense form measures 30.4 ms vs 25.9 ms for the conv form and 29.4 ms
+    float (scripts/probe_int8.py, v5e-1 2026-08-20; per-RoI-scale and
+    bf16-epilogue dense variants measure the same).  XLA's int8 conv
+    lowering handles the pointwise case better than its int8 dot here, so
+    the conv form is the shipped path."""
 
     features: int
     kernel_size: tuple[int, int]
@@ -113,10 +117,6 @@ class QuantConv(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
         )
-        if (kh, kw) == (1, 1) and self.strides == (1, 1):
-            b, h, w, c = x.shape
-            y = int8_dense(x.reshape(-1, c), kernel.reshape(c, self.features))
-            return y.reshape(b, h, w, self.features) + bias
         y = int8_conv(x, kernel, self.strides, self.padding)
         return y + bias
 

@@ -22,6 +22,7 @@ that matters and TP exists for the head where it genuinely pays.
 
 from __future__ import annotations
 
+import sys
 from typing import Any
 
 import numpy as np
@@ -95,15 +96,22 @@ _TP_RULES: list[tuple[tuple[str, ...], P]] = [
     (("head", "fc1", "kernel"), P(None, MODEL_AXIS)),  # column parallel
     (("head", "fc1", "bias"), P(MODEL_AXIS)),
     (("head", "fc2", "kernel"), P(MODEL_AXIS, None)),  # row parallel
-    # ResNet50 stage-5 head. Block names are unique to the head (trunk
-    # blocks are s2*-s4*), so suffix matching cannot touch trunk convs.
+]
+
+# ResNet50 stage-5 head. Block names are unique to the head (trunk
+# blocks are s2*-s4*), so suffix matching cannot touch trunk convs.
+# The dense_class/dense_regress row-parallel rules live HERE (applied
+# only when the param tree contains the stage-5 blocks): the VGG16 head
+# has same-named output denses, but they follow the already all-reduced
+# fc2 output, so row-sharding them would only add all-reduces.
+_TP_RULES_RESNET_HEAD: list[tuple[tuple[str, ...], P]] = [
     (("head", "dense_class", "kernel"), P(MODEL_AXIS, None)),
     (("head", "dense_regress", "kernel"), P(MODEL_AXIS, None)),
     (("s5a", "conv_sc", "kernel"), P(None, None, None, MODEL_AXIS)),
     (("s5a", "conv_sc", "bias"), P(MODEL_AXIS)),
 ]
 for _blk in ("s5a", "s5b", "s5c"):
-    _TP_RULES += [
+    _TP_RULES_RESNET_HEAD += [
         ((_blk, "conv2a", "kernel"), P(None, None, MODEL_AXIS, None)),
         ((_blk, "conv2c", "kernel"), P(None, None, None, MODEL_AXIS)),
         ((_blk, "conv2c", "bias"), P(MODEL_AXIS)),
@@ -125,12 +133,22 @@ def make_param_shardings(params: Any, mesh: Mesh, *, warn_label: str | None = No
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_sharded = 0
 
+    # The resnet-head rules (incl. the row-parallel output denses) apply
+    # only when the tree really is a resnet50 stage-5 head: detect by the
+    # head-unique s5a block in the leaf paths.
+    leaf_paths = [
+        tuple(p.key for p in path if hasattr(p, "key"))
+        for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+    ]
+    has_s5 = any("s5a" in keys for keys in leaf_paths)
+    rules = _TP_RULES + (_TP_RULES_RESNET_HEAD if has_s5 else [])
+
     def spec_for(path: tuple, leaf) -> NamedSharding:
         nonlocal n_sharded
         keys = tuple(p.key for p in path if hasattr(p, "key"))
         shape = getattr(leaf, "shape", None)
         if shape is not None:
-            for rule_path, spec in _TP_RULES:
+            for rule_path, spec in rules:
                 if keys[-len(rule_path):] == rule_path and len(shape) == len(spec):
                     # Only shard if divisible; tiny test models fall back to
                     # replication rather than failing.
@@ -145,13 +163,16 @@ def make_param_shardings(params: Any, mesh: Mesh, *, warn_label: str | None = No
 
     tree = jax.tree_util.tree_map_with_path(spec_for, params)
     if warn_label and axis_sizes.get(MODEL_AXIS, 1) > 1 and n_sharded == 0:
+        # stderr: bench.py and the serving path promise machine-parseable
+        # stdout (one JSON line), so diagnostics must not land there.
         print(
             f"WARNING: model axis is {axis_sizes[MODEL_AXIS]} but 0 "
             f"{warn_label} parameters matched a tensor-parallel rule - "
             "--model-parallel is a no-op for this network (everything is "
             "replicated). TP rules cover the vgg16 fc head and the "
             "resnet50 stage-5 head; tiny test-size layers whose dims "
-            "don't divide the model axis also fall back to replication."
+            "don't divide the model axis also fall back to replication.",
+            file=sys.stderr,
         )
     return tree
 

@@ -11,13 +11,32 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_multi_thread_eigen" not in flags:
+    # No nested Eigen parallelism: a conv's parallel subtasks share the
+    # pool with the 8 device programs and deadlock behind their blocked
+    # collective rendezvous on small hosts (see __graft_entry__).
+    flags += " --xla_cpu_multi_thread_eigen=false"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA CPU's 40 s collective-rendezvous watchdog aborts the process when
+    # 8 virtual device threads serialize on a 1-core host (observed on the
+    # dryrun 2026-08-20); raise it far past any legitimate stall.
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+        " --xla_cpu_collective_timeout_seconds=7200"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# One execution in flight at a time: the shared Eigen pool backing the 8
+# virtual devices deadlocks when two sharded executions interleave their
+# per-device tasks (every pool thread blocks in a collective rendezvous,
+# the missing participant's task queued behind them - observed on a
+# 1-core host 2026-08-20, see __graft_entry__.dryrun_multichip).
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 # Cache compiled executables across test runs; the fused-step compiles
 # dominate suite wall-time otherwise.
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))

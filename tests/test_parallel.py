@@ -63,14 +63,14 @@ def test_noop_tp_warns(capsys):
     mesh = make_mesh(8, model_parallel=2)
     fake_params = {"some": {"layer": {"kernel": np.zeros((4, 4), np.float32)}}}
     make_param_shardings(fake_params, mesh, warn_label="model")
-    out = capsys.readouterr().out
-    assert "0 model parameters matched" in out
+    err = capsys.readouterr().err  # stderr: stdout is reserved for JSON
+    assert "0 model parameters matched" in err
     # and a matching tree stays silent
     cfg = tiny_config("resnet50")
     model = build_model(cfg)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0))
     make_param_shardings(state.params, mesh, warn_label="model")
-    assert "matched" not in capsys.readouterr().out
+    assert "matched" not in capsys.readouterr().err
 
 
 def test_sharded_resnet50_cascade_matches_single_device():

@@ -54,9 +54,13 @@ def test_resize_to_canvas_shortest_aspect_cap():
     canvas, scale, vw, vh = resize_to_canvas_shortest(img, 60, (64, 128))
     assert vw <= 128 and vh <= 64
     assert scale == pytest.approx(vh / 40.0)
-    # still at least the longest-side-fit resolution (old behavior would
-    # give a 128-wide window scale of 128/400 at best; here vw==128)
-    assert vw == 128
+    # ONE uniform scale: the long side is derived from the reduced short
+    # side (vw == int(w * scale)), so reverse-mapping boxes with `scale`
+    # is exact along both axes.  (The pre-round-5 code truncated both
+    # dims independently - vw was 128 here while scale implied 120,
+    # drifting reverse-mapped boxes by up to 8 px on the long axis.)
+    assert vw == int(400 * scale)
+    assert vh == int(40 * scale)
 
 
 def test_canvas_bucket_selection():
