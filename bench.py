@@ -55,7 +55,11 @@ def time_tile_batches(radnet, config, device, n_batches: int, batch_np, wh_np):
 
     images = jax.device_put(jnp.asarray(batch_np), device)
     wh = jax.device_put(jnp.asarray(wh_np), device)
-    perturbed = [images + jnp.float32(i) for i in range(n_batches)]
+    # perturb WITHIN the input dtype: a float perturbation of a uint8
+    # batch would silently time a different (f32-entry) specialization
+    perturbed = [
+        (images + jnp.asarray(i % 7 + 1, images.dtype)) for i in range(n_batches)
+    ]
 
     def _barrier(out):
         # Scalar VALUE fetch: block_until_ready can return before device
@@ -76,17 +80,36 @@ def time_tile_batches(radnet, config, device, n_batches: int, batch_np, wh_np):
     return dt / (n_batches * images.shape[0])
 
 
+def tile_batch_np(radnet, config, rng, bs):
+    """A tile batch in the production host-path contract: uint8 canvases,
+    space-to-depth'd on the host for resnet50 (config.infer_host_s2d)."""
+    canvases = rng.integers(
+        0, 255, (bs, config.canvas_size, config.canvas_size, 3), dtype=np.uint8
+    )
+    if getattr(radnet, "_use_host_s2d", False):
+        from radnet_tpu.data.pipeline import s2d_canvas_np
+
+        return np.stack([s2d_canvas_np(c) for c in canvases])
+    return canvases
+
+
 def cascade_mfu(radnet, device_tile_sec: float, batch: int, peak_flops: float = 197e12):
     """Achieved MFU of the tile cascade from XLA's own cost model."""
     import jax
     import jax.numpy as jnp
 
     cfg = radnet.C
-    images = jnp.zeros((batch, cfg.canvas_size, cfg.canvas_size, 3), jnp.float32)
+    if getattr(radnet, "_use_host_s2d", False):
+        h2 = (cfg.canvas_size + 6) // 2
+        images = jnp.zeros((batch, h2, h2, 12), jnp.uint8)
+        mean = radnet._s2d_mean
+    else:
+        images = jnp.zeros((batch, cfg.canvas_size, cfg.canvas_size, 3), jnp.float32)
+        mean = None
     wh = jnp.full((batch, 2), float(cfg.img_size), jnp.float32)
     try:
         comp = radnet._predict_tiles_jit.lower(
-            radnet.variables, images, wh, radnet._feat_anchors
+            radnet.variables, images, wh, radnet._feat_anchors, mean
         ).compile()
         ca = comp.cost_analysis()
         if isinstance(ca, list):
@@ -255,11 +278,10 @@ def main() -> int:
     pipelined_sec = float(np.median(np.diff(result_t)))
     panels_per_sec = 1.0 / pipelined_sec
 
-    # Device-only per-tile time for the vs-CPU ratio.
+    # Device-only per-tile time for the vs-CPU ratio, in the production
+    # host-path contract (uint8 canvases; host-s2d for resnet50).
     bs = config.infer_tile_batch
-    batch_np = rng.normal(0, 1, (bs, config.canvas_size, config.canvas_size, 3)).astype(
-        np.float32
-    )
+    batch_np = tile_batch_np(radnet, config, rng, bs)
     wh_np = np.full((bs, 2), float(config.img_size), np.float32)
     # 12 timed batches: at 4 the measurement mixes ramp effects into the
     # mean and disagrees with the 30-iteration carry-threaded ablation by
@@ -324,8 +346,8 @@ def main() -> int:
                     "sec_per_panel_serial": round(panel_sec, 3),
                     "sec_per_panel_pipelined": round(pipelined_sec, 3),
                     "tiles_per_sec": round(n_tiles / pipelined_sec, 2),
-                    "device_sec_per_tile": round(dev_tile_s, 4),
-                    "int8_device_sec_per_tile": round(int8_tile_s, 4)
+                    "device_sec_per_tile": round(dev_tile_s, 5),
+                    "int8_device_sec_per_tile": round(int8_tile_s, 5)
                     if np.isfinite(int8_tile_s)
                     else None,
                     "mfu": round(mfu, 3) if np.isfinite(mfu) else None,

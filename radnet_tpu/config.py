@@ -208,6 +208,14 @@ class Config:
     # uniform tiling - are identical under both rules.
     infer_shortest_side: bool = True
     infer_canvas_max_mult: int = 4
+    # resnet50 square-canvas host tile path: ship SPACE-TO-DEPTH'd uint8
+    # canvases ((S+6)/2, (S+6)/2, 12) built on the host, so the device
+    # program skips its worst layout stage (the pad + s2d build on the
+    # channel-minor (S, S, 3) canvas - 1.5 ms per 8-tile batch,
+    # BASELINE.md r4).  Bit-identical detections (tests/test_host_s2d.py)
+    # and identical bytes on the wire.  vgg16 and the rectangular /
+    # prescaled-device paths are unaffected.
+    infer_host_s2d: bool = True
     compute_dtype: str = "bfloat16"  # backbone compute dtype on TPU
     # Serving-throughput knob with no reference counterpart: run the RoI
     # head's convs/dense layers in dynamic int8 (per-out-channel weight

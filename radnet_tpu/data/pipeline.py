@@ -62,6 +62,45 @@ def preprocess_on_device(images):
     return images.astype(jnp.float32)
 
 
+def s2d_canvas_np(canvas: np.ndarray) -> np.ndarray:
+    """Host-side space-to-depth of one (S, S, 3) uint8 canvas ->
+    ((S+6)/2, (S+6)/2, 12) with the StemConv channel order
+    (row-parity p)*6 + (col-parity q)*3 + c.
+
+    Byte-for-byte the tensor the device-side s2d build produces from the
+    zero-padded canvas (models/resnet.py::StemConv) - moving it to the
+    host removes the trunk's worst layout stage from the device program
+    (the (B, H, W, 3/12) channel-minor ops run at 3-12/128 lane
+    occupancy; the s2d build alone measured 1.53 ms per 8-tile batch -
+    BASELINE.md round 4).  Pure numpy data movement, ~1 MB/tile.
+    """
+    s = canvas.shape[0]
+    xpad = np.zeros((s + 6, s + 6, 3), canvas.dtype)
+    xpad[3 : 3 + s, 3 : 3 + s] = canvas
+    h = s + 6
+    xw = xpad.reshape(h, h // 2, 6)          # free reshape: W s2d
+    return np.concatenate([xw[0::2], xw[1::2]], axis=-1)  # H s2d
+
+
+def s2d_mean_offsets(canvas_size: int) -> np.ndarray:
+    """The centering map for host-s2d canvases: subtracting it from the
+    float s2d tensor equals (center the WHOLE canvas, zero-pad by 3,
+    s2d) - i.e. the per-channel BGR mean masked to the canvas region so
+    the 3-px ZeroPadding2D ring stays true zero.  Shape
+    ((S+6)/2, (S+6)/2, 12) float32; pass as a jit ARGUMENT (CLAUDE.md
+    pitfall #10)."""
+    s = canvas_size
+    mask = np.zeros((s + 6, s + 6), np.float32)
+    mask[3 : 3 + s, 3 : 3 + s] = 1.0
+    parts = []
+    for p in (0, 1):
+        for q in (0, 1):
+            sub = mask[p::2, q::2]
+            for c in range(3):
+                parts.append(sub * IMAGENET_BGR_MEAN[c])
+    return np.stack(parts, axis=-1)
+
+
 def longest_side_dims(w: int, h: int, img_size: int) -> tuple[int, int]:
     """Longest-side-to-``img_size`` resize dims (aspect preserved, >=1 px).
 

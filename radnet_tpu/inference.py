@@ -33,7 +33,11 @@ import jax.numpy as jnp
 
 from radnet_tpu.config import Config
 from radnet_tpu.data.dataset import get_image
-from radnet_tpu.data.pipeline import preprocess_on_device, resize_to_canvas
+from radnet_tpu.data.pipeline import (
+    preprocess_on_device,
+    resize_to_canvas,
+    s2d_canvas_np,
+)
 from radnet_tpu.data.tiling import plan_tiles
 from radnet_tpu.engine.steps import feature_extent
 from radnet_tpu.geometry import decode_boxes
@@ -107,6 +111,28 @@ class RADNet:
         # Per-canvas-bucket anchor grids for non-square windows (the
         # shortest-side path); keyed by (canvas_h, canvas_w).
         self._anchor_cache: dict[tuple[int, int], Any] = {}
+        # Host-s2d stem path (resnet50): the square-canvas host tile path
+        # ships space-to-depth'd uint8 canvases so the device program
+        # never touches the channel-minor (B, S, S, 3) layout (the
+        # trunk's worst stage - BASELINE.md r4).  The centering map
+        # (mean masked to the canvas region; the pad ring stays zero)
+        # enters the jit as an ARGUMENT (CLAUDE.md pitfall #10).
+        self._use_host_s2d = (
+            config.network == "resnet50"
+            and getattr(config, "infer_host_s2d", True)
+        )
+        if self._use_host_s2d:
+            from radnet_tpu.data.pipeline import s2d_mean_offsets
+
+            mean_np = s2d_mean_offsets(config.canvas_size)
+            if mesh is not None:
+                from radnet_tpu.parallel.mesh import replicated
+
+                self._s2d_mean = jax.device_put(mean_np, replicated(mesh))
+            else:
+                self._s2d_mean = jax.device_put(mean_np)
+        else:
+            self._s2d_mean = None
         self._predict_tiles_jit = jax.jit(self._predict_tiles_impl)
 
     def _predict_tiles(self, images, valid_wh, feat_anchors=None):
@@ -118,6 +144,7 @@ class RADNet:
             images,
             valid_wh,
             self._feat_anchors if feat_anchors is None else feat_anchors,
+            self._s2d_mean if images.shape[-1] == 12 else None,
         )
 
     # ------------------------------------------------------------------ #
@@ -313,9 +340,12 @@ class RADNet:
     # Device-side cascade for one batch of tiles.
     # ------------------------------------------------------------------ #
     def _predict_tiles_impl(
-        self, variables, images: jnp.ndarray, valid_wh: jnp.ndarray, feat_anchors
+        self, variables, images: jnp.ndarray, valid_wh: jnp.ndarray, feat_anchors,
+        s2d_mean=None,
     ):
-        """(T, S, S, 3) preprocessed tiles -> per-class detections.
+        """(T, S, S, 3) tiles - or (T, (S+6)/2, (S+6)/2, 12) host-s2d
+        tiles with their centering map ``s2d_mean`` - to per-class
+        detections.
 
         Returns (boxes (T, K, D, 4) in resized-image px, scores (T, K, D),
         valid (T, K, D)) with K = n_classes - 1 foreground classes and
@@ -325,8 +355,17 @@ class RADNet:
         scales = tuple(cfg.anchor_box_scales)
         ratios = tuple(tuple(r) for r in cfg.anchor_box_ratios)
 
-        images = preprocess_on_device(images)
-        fmap = self.model.apply(variables, images, method=FasterRCNN.features)
+        if images.shape[-1] == 12:
+            # host-built stem s2d (uint8) - centering (mean masked to the
+            # canvas region) folded into one subtract; bit-equal to
+            # center + pad + device-s2d on the (S, S, 3) canvas.
+            images = images.astype(jnp.float32) - s2d_mean
+            fmap = self.model.apply(
+                variables, images, method=FasterRCNN.features, prebuilt_s2d=True
+            )
+        else:
+            images = preprocess_on_device(images)
+            fmap = self.model.apply(variables, images, method=FasterRCNN.features)
         rpn_cls, rpn_regr = self.model.apply(variables, fmap, method=FasterRCNN.rpn)
 
         valid_fw = feature_extent(valid_wh[:, 0], cfg.network)
@@ -437,11 +476,20 @@ class RADNet:
     def _tile_batches(self, img: np.ndarray, tiles: np.ndarray):
         """Yield (images, valid_wh, scales, tile_origins) fixed-size batches."""
         cfg = self.C
+        s2d = self._use_host_s2d
+        h2 = (cfg.canvas_size + 6) // 2
         for start, bs in self._batch_schedule(len(tiles)):
             chunk = tiles[start : start + bs]
             # uint8 canvases: mean-centering runs on device, so each tile
-            # ships 1 byte/channel instead of 4 over the host->device link.
-            imgs = np.zeros((bs, cfg.canvas_size, cfg.canvas_size, 3), np.uint8)
+            # ships 1 byte/channel instead of 4 over the host->device
+            # link.  For resnet50 the canvases ship SPACE-TO-DEPTH'd
+            # (same bytes, (H2, H2, 12) layout): the device program then
+            # never touches the channel-minor (S, S, 3) layout that makes
+            # the stem its worst stage (data/pipeline.py::s2d_canvas_np).
+            if s2d:
+                imgs = np.zeros((bs, h2, h2, 12), np.uint8)
+            else:
+                imgs = np.zeros((bs, cfg.canvas_size, cfg.canvas_size, 3), np.uint8)
             wh = np.full((bs, 2), float(cfg.canvas_size), np.float32)
             scales = np.ones((bs,), np.float64)
             n = len(chunk)
@@ -450,7 +498,7 @@ class RADNet:
                 canvas, scale, vw, vh = resize_to_canvas(
                     tile_img, cfg.img_size, cfg.canvas_size
                 )
-                imgs[i] = canvas
+                imgs[i] = s2d_canvas_np(canvas) if s2d else canvas
                 wh[i] = (vw, vh)
                 scales[i] = scale
             yield imgs, wh, scales, chunk, n

@@ -79,8 +79,15 @@ class FasterRCNN(nn.Module):
     def pool_size(self) -> int:
         return self._pool_size
 
-    def features(self, images: jnp.ndarray) -> jnp.ndarray:
-        """(B, H, W, 3) preprocessed images -> (B, H/16, W/16, C) features."""
+    def features(self, images: jnp.ndarray, *, prebuilt_s2d: bool = False) -> jnp.ndarray:
+        """(B, H, W, 3) preprocessed images -> (B, H/16, W/16, C) features.
+
+        ``prebuilt_s2d``: resnet50-only fast path - ``images`` is the
+        centered host-built stem s2d tensor (B, (S+6)/2, (S+6)/2, 12)
+        (data/pipeline.py::s2d_canvas_np), skipping the device-side
+        pad + space-to-depth layout stage."""
+        if prebuilt_s2d:
+            return self.trunk(images, prebuilt_s2d=True)
         return self.trunk(images)
 
     def rpn(self, fmap: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -154,11 +154,29 @@ class StemConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xpad: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, xpad: jnp.ndarray, *, prebuilt_s2d: bool = False) -> jnp.ndarray:
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (64,), jnp.float32)
+        if prebuilt_s2d:
+            # xpad is already the s2d tensor (B, (S+6)/2, (S+6)/2, 12)
+            # in (p, q, c) channel order (built on the HOST from the
+            # uint8 canvas - data/pipeline.py::s2d_canvas_np - so the
+            # device program never touches a channel-minor-3 tensor).
+            kp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            kp = (
+                kp.reshape(4, 2, 4, 2, 3, 64)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(4, 4, 12, 64)
+            )
+            y = jax.lax.conv_general_dilated(
+                xpad.astype(self.dtype),
+                kp.astype(self.dtype),
+                (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
         b, h, w, c = xpad.shape
         if h % 2 or w % 2:  # odd canvas: plain strided conv
             y = jax.lax.conv_general_dilated(
@@ -198,10 +216,15 @@ class ResNet50Trunk(nn.Module):
     up_to: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, prebuilt_s2d: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))  # ZeroPadding2D((3,3))
-        x = StemConv(dtype=self.dtype, name="conv1")(x)
+        if prebuilt_s2d:
+            # x is the centered host-built s2d tensor (B, H2, W2, 12) -
+            # the pad + device s2d are already folded in.
+            x = StemConv(dtype=self.dtype, name="conv1")(x, prebuilt_s2d=True)
+        else:
+            x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))  # ZeroPadding2D((3,3))
+            x = StemConv(dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn_conv1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
